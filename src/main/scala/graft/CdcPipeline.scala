@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.apply.CdcApplier
+import graft.codec.ConcatJson
+import graft.lake.LakeTable
+import graft.repair.Repair
+import graft.validate.Validate
+
+/** End-to-end micro-batch pipeline: the one-Spark-application collapse of
+  * the reference's five-job Glue workflow (SURVEY.md §3.1) —
+  * split → parse → validate/quarantine → repair → LWW MERGE → commit,
+  * all one lazily-planned DAG per batch.
+  */
+object CdcPipeline {
+
+  /** Canonical value columns entering the lake (input_hint shape + seq). */
+  private val canonical = Seq("repo", "path", "commit", "lang", "content", "seq")
+
+  /** Process one batch of raw concatenated-JSON blobs into the lake.
+    * `promote` names payload fields to lift into lake columns (schema
+    * evolution). Returns (committedVersion, quarantined DataFrame). */
+  def processBlobs(spark: SparkSession, blobs: Dataset[String], lake: LakeTable,
+      batchId: String, promote: Seq[String] = Nil): (Long, DataFrame) = {
+    val docs = ConcatJson.explodeDocs(blobs)
+    val parsed = ConcatJson.parse(docs, spark)
+    val (clean, dirty) = Validate.route(parsed)
+    val repaired = Repair.all(clean)
+    val cols = Seq("op", "part").map(col) ++ canonical.map(col) ++
+      promote.map(f => col(s"payload.$f").as(f))
+    val events = repaired.select(cols: _*)
+    val applier = new CdcApplier(lake, spark)
+    val version = applier.applyBatch(events, batchId)
+    (version, dirty)
+  }
+
+  /** Process a batch already in canonical parquet shape (no codec stage). */
+  def processEvents(spark: SparkSession, events: DataFrame, lake: LakeTable,
+      batchId: String): Long = {
+    val cleanOnly = events.filter(lower(col("source")) === "app.change.log")
+    val applier = new CdcApplier(lake, spark)
+    applier.applyBatch(
+      cleanOnly.select((Seq("op", "part") ++ canonical).map(col): _*), batchId)
+  }
+}

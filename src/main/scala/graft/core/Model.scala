@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Core data model of the CDC engine (SURVEY.md §1.4).
+  *
+  * The lake table is `repos(repo, path, commit, lang, content)` keyed
+  * `(repo, path)`, last-writer-wins ordered by `seq` (commit sequence,
+  * epoch-ms-like — the analog of the reference's `detail.timestamp`,
+  * `/root/reference/dependencies/microone_prediction.json:48-51`) with
+  * `commit` as the deterministic tiebreak for a total order (SURVEY.md
+  * §7.4-2).
+  */
+object Model {
+
+  /** Change-event operations (≙ reference event types PUBLISH / DELETE /
+    * DELETE SLIDE, `/root/reference/dependencies/microone_event.json:95-102`). */
+  object Op {
+    val Insert = "INSERT"
+    val Update = "UPDATE"
+    val Delete = "DELETE"
+    val all: Seq[String] = Seq(Insert, Update, Delete)
+  }
+
+  /** One change event from the binlog/WAL tail. `schemaVer` mirrors the
+    * reference's `anyof_schema` v1/v2 envelope variants
+    * (`microone_event.json:59-187`): v1 carries `commitLang` as a
+    * composite `"<commit>#<lang>"` (service-in-key form), v2 carries
+    * explicit `commit` + `lang`. */
+  case class ChangeEvent(
+      eventId: String,
+      op: String,
+      seq: Long,
+      repo: String,
+      path: String,
+      commit: String,
+      lang: String,
+      content: String,
+      schemaVer: String,
+      source: String)
+
+  /** A row of the lake table (input_hint shape). */
+  case class RepoRow(
+      repo: String,
+      path: String,
+      commit: String,
+      lang: String,
+      content: String,
+      seq: Long)
+
+  /** Quarantined raw event + validation error details (≙ the reference's
+    * dirty_efs split, `data_profiling.py:38-41,176-179`). */
+  case class Quarantined(raw: String, errors: Seq[String], stage: String)
+
+  /** Per-batch lineage / row-count metrics (≙ PROFILER logs → ES,
+    * `process_logs.py:140-167`). */
+  case class Lineage(
+      batchId: Long,
+      parsed: Long,
+      quarantined: Long,
+      upserts: Long,
+      deletes: Long,
+      rowsBefore: Long,
+      rowsAfter: Long)
+
+  /** Wire schema of a change event as JSON (explicit — no inference scan,
+    * unlike the reference's `spark.read.json` at
+    * `convert_to_parquet.py:183`). */
+  val changeEventSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("op", StringType),
+    StructField("seq", LongType),
+    StructField("repo", StringType),
+    StructField("path", StringType),
+    StructField("commit", StringType),
+    StructField("lang", StringType),
+    StructField("commit_lang", StringType), // v1 composite form
+    StructField("content", StringType),
+    StructField("schema_ver", StringType),
+    StructField("source", StringType),
+    StructField("part", StringType), // binlog source partition (offsets key)
+    // payload struct exercising the nested-repair surface (§2.3):
+    StructField("payload", StructType(Seq(
+      StructField("scores", ArrayType(StructType(Seq(
+        StructField("sentence", StringType),
+        StructField("score", DoubleType))))),
+      StructField("paragraph", StringType),
+      StructField("tags", StringType),      // union string|list as raw JSON
+      StructField("stars", LongType),       // v2-only (schema evolution add)
+      StructField("descr", StringType),     // v1 name
+      StructField("description", StringType) // v2 name (rename evolution)
+    )))))
+
+  /** Canonical lake schema (v1). Evolution appends columns. */
+  val lakeSchemaV1: StructType = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType),
+    StructField("content", StringType),
+    StructField("seq", LongType, nullable = false)))
+}

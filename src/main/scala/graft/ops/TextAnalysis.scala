@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID, quality
+  * scoring, token counting, document fingerprinting. All pure Column
+  * expressions (codegen'd, no UDF, no shuffle) — at 100 TB these run as a
+  * single projection inside the scan stage.
+  *
+  * Determinism: ratios are double divisions of exact integer counts
+  * (IEEE-identical across engines); fingerprints are md5-hex string
+  * minima (engine-portable, unlike xxhash64).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank ⇒ 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Tokens matched by a BPE-ish word/punct regex (closer to subword
+    * tokenizer counts than whitespace splitting). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "est", "une")
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    size(filter(split(lower(trim(text)), "\\s+"), w => w.isin(words.map(lit(_)): _*)))
+
+  /** n-gram/stopword-heuristic language ID over {en, de, fr}:
+    * argmax of stopword hit counts, `und` ties broken en < de < fr. */
+  def langId(text: Column): Column = {
+    val en = hits(text, stopEn); val de = hits(text, stopDe); val fr = hits(text, stopFr)
+    when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(hits(text, stopEn).cast("double") / n.cast("double"))
+  }
+
+  /** Quality features: length, token count, punct ratio, upper ratio,
+    * mean token length — the length/punct/stopword heuristics used by
+    * web-scale corpus filters. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text)
+    val toks = tokenCount(text)
+    val punct = len - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val uppers = len - length(regexp_replace(text, "[A-Z]", ""))
+    Seq(
+      "n_chars" -> len.cast("long"),
+      "n_tokens" -> toks.cast("long"),
+      "punct_ratio" -> when(len === 0, lit(0.0)).otherwise(punct.cast("double") / len.cast("double")),
+      "upper_ratio" -> when(len === 0, lit(0.0)).otherwise(uppers.cast("double") / len.cast("double")),
+      "mean_tok_len" -> when(toks === 0, lit(0.0))
+        .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / toks.cast("double")),
+      "stop_ratio" -> stopwordRatio(text))
+  }
+
+  /** Simple whole-document fingerprint: first 16 hex chars of md5. */
+  def fingerprint64(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** Character k-gram shingles (distinct). `Column.substr(pos,len)` keeps
+    * this inside codegen. */
+  def shingles(text: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** Rolling/shingle fingerprint: minimum md5 over the k-gram set — the
+    * MinHash(1) signature, engine-portable. */
+  def shingleFingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the driver testdata tables
+  * (`/root/testdata/sf*`), each paired with an ANSI-SQL DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism discipline for the hash-compare oracle: every aggregated
+  * money/double value is rounded per-row to integer cents and summed as
+  * BIGINT, so results are exact integers in both engines regardless of
+  * floating-point summation order. Raw doubles only pass through
+  * unaggregated (bit-exact reads from the same parquet).
+  *
+  * Reference semantics mirrored (SURVEY.md §2): P1/P2 filters, P6 flatten
+  * projections, J1/J2 joins, A1-A3 aggregations, O1-O3 sort/limit, U2 set
+  * difference, F1-F13 scalar functions.
+  */
+object Relational {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-row exact integer cents: round(x*100) as bigint. */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** q01 — TPC-H Q1 style pricing summary (hash agg, map-side combine).
+    * Mirrors reference A1/A2 roll-ups (`data_profiling.py:121-123`). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(cents($"l_extendedprice")).as("base_cents"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("disc_cents"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"))
+  }
+
+  /** q02 — selective filter + narrow projection; predicate + column pruning
+    * reach the parquet scan (PushedFilters). Mirrors P1 source filter. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(cents($"l_extendedprice" * $"l_discount")).as("disc_revenue_cents"))
+  }
+
+  /** q03 — broadcast equi-join (small dim), mirrors J1 lookup enrichment
+    * (`flat_jsons.py:157-176`) recast as hash equi-join. */
+  def q03BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "orders")
+      .join(broadcast(t(dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents($"o_totalprice")).as("total_cents"),
+        countDistinct($"o_custkey").as("n_cust"))
+  }
+
+  /** q04 — multi-way join with dims broadcast, fact tables shuffle-joined
+    * on their natural keys (the plan Catalyst should pick: two small dims
+    * broadcast, lineitem⋈orders sort-merge/shuffled-hash on l_orderkey). */
+  def q04MultiJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "lineitem")
+      .join(t(dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+  }
+
+  /** q05 — per-key last-writer-wins pick (A3, the core CDC reduce):
+    * `max_by(struct, orderKey)` — a single hash aggregate, no sort, no
+    * window shuffle+sort. Total order: (ts, event_id). */
+  def q05LwwLatest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "events")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"event_id", $"ts", $"event_type", $"value"),
+        struct($"ts", $"event_id")).as("r"))
+      .select($"user_id", $"r.event_id".as("event_id"), $"r.ts".as("ts"),
+        $"r.event_type".as("event_type"), $"r.value".as("value"))
+  }
+
+  /** q06 — CDC final state with delete semantics: events re-interpreted as
+    * a changelog (error ⇒ DELETE, signup ⇒ INSERT, else UPDATE), LWW by
+    * (ts, event_id) per key, deleted keys drop out. SQL-composed analog of
+    * the engine's MERGE (engine e2e is a separate query). */
+  def q06CdcFinalState(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "events")
+      .withColumn("op",
+        when($"event_type" === "error", lit("DELETE")).otherwise(lit("UPSERT")))
+      .groupBy($"user_id")
+      .agg(max_by(struct($"op", $"event_id", $"ts", $"value"),
+        struct($"ts", $"event_id")).as("r"))
+      .filter($"r.op" =!= "DELETE")
+      .select($"user_id", $"r.op".as("op"), $"r.event_id".as("event_id"),
+        $"r.ts".as("ts"), $"r.value".as("value"))
+  }
+
+  /** q07 — window functions: running per-key cents total + row_number
+    * (the reference has none; our engine's one window is LWW ordering,
+    * SURVEY.md §2.6). Exact integer arithmetic throughout. */
+  def q07WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(dir, "events")
+      .withColumn("v_cents", cents($"value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_cents",
+        sum($"v_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"user_id", $"event_id", $"rn", $"v_cents", $"run_cents")
+  }
+
+  /** q08 — anti-join set difference (J2/U2: processed-file ledger fencing
+    * `update_workflow_properties.py:151`): clicking users who never
+    * signed up. */
+  def q08AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val ev = t(dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    clicks.join(purchases, Seq("user_id", "d"), "left_anti")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"), min($"d").as("first_d"), max($"d").as("last_d"))
+  }
+
+  /** q09 — validation + routing (P3/P8 + S8 clean/dirty split): parse the
+    * nested JSON payload, classify each row, count per route. */
+  def q09ValidateRoute(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("status",
+        when($"k".isNull, lit("quarantine_missing"))
+          .when($"k" >= 0 && $"k" <= 100 && $"value" >= 0, lit("clean"))
+          .otherwise(lit("quarantine_invalid")))
+      .groupBy($"event_type", $"status")
+      .agg(count(lit(1)).as("cnt"), min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+
+  /** q10 — scalar-function surface (F1-F8): string split/extract, casing,
+    * concat, date part extraction — the reference's repair/log-parse
+    * function inventory in one projection. */
+  def q10ScalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "events")
+      .select(
+        $"event_id",
+        // F1: split on '#'-like sep, take last (service-from-prediction_id)
+        element_at(split(concat($"event_type", lit("#"), $"user_id"), "#"), -1)
+          .as("key_tail"),
+        // F3/F4: casing + concat
+        upper($"event_type").as("etype_uc"),
+        concat(lit("u"), $"user_id", lit("/"), $"event_type").as("route_key"),
+        // F8: date part extraction (partition column derivation P7)
+        year($"ts").as("y"), month($"ts").as("m"),
+        dayofmonth($"ts").as("d"), hour($"ts").as("h"),
+        // F5: substring containment
+        $"props".contains("9").cast("int").as("has_nine"),
+        // F9: cast in expression
+        cents($"value").as("v_cents"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_broadcast_join" -> q03BroadcastJoin _,
+    "q04_multijoin_revenue" -> q04MultiJoinRevenue _,
+    "q05_lww_latest" -> q05LwwLatest _,
+    "q06_cdc_final_state" -> q06CdcFinalState _,
+    "q07_window_running" -> q07WindowRunning _,
+    "q08_anti_join" -> q08AntiJoin _,
+    "q09_validate_route" -> q09ValidateRoute _,
+    "q10_scalar_functions" -> q10ScalarFunctions _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS base_cents,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS disc_cents,
+        | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS disc_revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |GROUP BY l_returnflag""".stripMargin,
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_multijoin_revenue" ->
+      """SELECT r_name, n_name, count(*) AS n_rows,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_lww_latest" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        | SELECT user_id, event_id, ts, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+    "q06_cdc_final_state" ->
+      """SELECT user_id, op, event_id, ts, value FROM (
+        | SELECT user_id,
+        |   CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+        |   event_id, ts, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
+    "q07_window_running" ->
+      """SELECT user_id, event_id,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(round(value*100) AS BIGINT) AS v_cents,
+        | sum(CAST(round(value*100) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT user_id, count(*) AS n_days, min(d) AS first_d, max(d) AS last_d
+        |FROM (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        | WHERE event_type = 'click') c
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM (
+        |   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |   WHERE event_type = 'purchase') p
+        | WHERE p.user_id = c.user_id AND p.d = c.d)
+        |GROUP BY user_id""".stripMargin,
+    "q09_validate_route" ->
+      """SELECT event_type, status, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
+        |FROM (
+        | SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |   CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL
+        |          THEN 'quarantine_missing'
+        |        WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 100
+        |          AND value >= 0 THEN 'clean'
+        |        ELSE 'quarantine_invalid' END AS status
+        | FROM events)
+        |GROUP BY event_type, status""".stripMargin,
+    "q10_scalar_functions" ->
+      """SELECT event_id,
+        | CAST(user_id AS VARCHAR) AS key_tail,
+        | upper(event_type) AS etype_uc,
+        | 'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS route_key,
+        | CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        | CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        | CAST(contains(props, '9') AS INT) AS has_nine,
+        | CAST(round(value*100) AS BIGINT) AS v_cents
+        |FROM events""".stripMargin,
+  )
+}

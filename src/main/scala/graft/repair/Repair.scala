@@ -1,0 +1,89 @@
+package graft.repair
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typed payload repair / normalization (operators R1-R6 in SURVEY.md
+  * §2.3 — the reference's per-row Python rewrite layer,
+  * `/root/reference/ef_ingestion_etl/flat_jsons.py:44-183`).
+  *
+  * Every repair is a pure `Column => Column` rewrite built from
+  * `withField` / `transform` / `cast` / `when` — fully codegen'd, no UDF,
+  * no shuffle. They compose into a single projection.
+  */
+object Repair {
+
+  /** R1 analog (`flat_jsons.py:44-63`): scores arrive int-typed with `-1`
+    * sentinel for "missing"; recast to double and null out sentinels.
+    * Absent array ⇒ null (reference sets the field to None). */
+  def recastScores(payload: Column): Column =
+    payload.withField("scores",
+      when(payload.getField("scores").isNotNull,
+        transform(payload.getField("scores"), s =>
+          s.withField("score",
+            when(s.getField("score") === -1d, lit(null).cast("double"))
+              .otherwise(s.getField("score").cast("double"))))))
+
+  /** R2 analog (`flat_jsons.py:66-82`): `paragraph` drifts int|string;
+    * normalize to string — except on DELETE ops (reference skips
+    * `type=="DELETE"`). Schema reads it as string already, so the
+    * remaining normalization is trimming a float-ish "42.0" tail that the
+    * loose producer emits. */
+  def normalizeParagraph(payload: Column, op: Column): Column =
+    payload.withField("paragraph",
+      when(op === graft.core.Model.Op.Delete, payload.getField("paragraph"))
+        .otherwise(regexp_replace(payload.getField("paragraph"), "\\.0$", "")))
+
+  /** R3/R4 analog (`flat_jsons.py:85-110`): absent optional nested fields
+    * become explicit nulls — with an explicit read schema this is free;
+    * kept as a no-op-on-present coalesce for drifted producers. */
+  def populateMissing(payload: Column): Column =
+    payload
+      .withField("stars", coalesce(payload.getField("stars"), lit(null).cast("long")))
+      .withField("descr", coalesce(payload.getField("descr"), lit(null).cast("string")))
+
+  /** R5 analog (`flat_jsons.py:113-136`): union-typed `tags` arrives as
+    * raw JSON that is either the literal string "null", a bare string, or
+    * a JSON list. Normalize to `array<string>`: "null" ⇒ [], scalar ⇒
+    * [scalar], list ⇒ list. */
+  def normalizeTags(payload: Column): Column = {
+    val raw = payload.getField("tags")
+    val asList = from_json(raw,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    payload.withField("tags_norm",
+      when(raw.isNull || (raw === "null") || (raw === "\"null\""),
+        array().cast("array<string>"))
+        .when(asList.isNotNull, asList)
+        .otherwise(array(regexp_replace(raw, "^\"|\"$", ""))))
+  }
+
+  /** Rename-evolution normalization (v1 `descr` → v2 `description`,
+    * SURVEY.md §1.1 anyof_schema generalization): canonicalize before the
+    * lake so stored files always use the v2 name. */
+  def canonicalizeRenames(payload: Column): Column =
+    payload.withField("description",
+      coalesce(payload.getField("description"), payload.getField("descr")))
+
+  /** R6 analog (`flat_jsons.py:139-183`): lookup enrichment against a
+    * small dimension — reference does substring containment against a
+    * media-key listing, first match wins, miss keeps the original. At
+    * scale this is a broadcast equi-join on a pre-split key (never a
+    * nested-loop containment join). `dim(lookup_key, uri)`. */
+  def enrichUri(events: DataFrame, dim: DataFrame, eventKey: Column): DataFrame = {
+    val picked = dim.groupBy(col("lookup_key"))
+      .agg(min(col("uri")).as("uri")) // deterministic first-match (O3: min)
+    events.join(broadcast(picked), eventKey === picked("lookup_key"), "left")
+      .drop("lookup_key")
+  }
+
+  /** Full per-event repair pipeline as one projection. */
+  def all(df: DataFrame): DataFrame =
+    df.withColumn("payload", {
+      val p0 = col("payload")
+      val p1 = recastScores(p0)
+      val p2 = normalizeParagraph(p1, col("op"))
+      val p3 = populateMissing(p2)
+      val p4 = normalizeTags(p3)
+      canonicalizeRenames(p4)
+    })
+}

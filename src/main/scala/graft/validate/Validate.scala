@@ -1,0 +1,69 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative schema validation → clean/quarantine routing (operators
+  * P3/P8 + S8 in SURVEY.md §2).
+  *
+  * The reference validates each event against per-(service,type) Cerberus
+  * schemas with `allow_unknown=True` and routes failures to a dirty
+  * prefix with error details
+  * (`/root/reference/ef_ingestion_etl/data_profiling.py:46-58,176-179`).
+  *
+  * Here the rule set compiles to ONE Column expression producing an
+  * `array<string>` of error messages — a single codegen'd projection, no
+  * UDF, no per-row interpreter. `errors` empty ⇔ clean. Unknown extra
+  * fields pass by construction (we project known fields only).
+  */
+object Validate {
+
+  /** One rule: predicate that must hold, plus the error label recorded
+    * when it does not. */
+  final case class Rule(name: String, holds: Column)
+
+  import graft.core.Model.Op
+
+  /** Rule set for parsed change events (the Cerberus-semantics analog:
+    * required / nullable / enum / type / cross-field). */
+  def changeEventRules: Seq[Rule] = Seq(
+    Rule("corrupt_json", col("_corrupt").isNull),
+    Rule("missing_event_id", col("event_id").isNotNull),
+    Rule("missing_op", col("op").isNotNull),
+    Rule("op_not_in_enum", col("op").isNull || col("op").isin(Op.all: _*)),
+    Rule("missing_seq", col("seq").isNotNull),
+    Rule("negative_seq", col("seq").isNull || col("seq") >= 0),
+    Rule("missing_repo", col("repo").isNotNull && length(col("repo")) > 0),
+    Rule("missing_path", col("path").isNotNull && length(col("path")) > 0),
+    // commit resolvable from either schema variant (v1 composite or v2):
+    Rule("unresolvable_commit", col("commit").isNotNull),
+    // offsets key: events must say which binlog shard they came from
+    Rule("missing_part", col("part").isNotNull),
+    // content required for upserts, irrelevant for deletes:
+    Rule("missing_content",
+      col("op").isNull || col("op") === Op.Delete || col("content").isNotNull),
+    // wrong-source discard (P1, `data_profiling.py:154-157`) is modeled
+    // as a rule so discards are observable in the quarantine table:
+    Rule("wrong_source",
+      col("source").isNull || lower(col("source")) === "app.change.log"))
+
+  /** Compile rules to a single `array<string>` errors column. */
+  def errorsColumn(rules: Seq[Rule]): Column =
+    array_compact(array(rules.map(r =>
+      when(!coalesce(r.holds, lit(false)), lit(r.name))): _*))
+
+  /** Annotate with `errors`; clean ⇔ `size(errors)=0`. One pass. */
+  def annotate(df: DataFrame, rules: Seq[Rule] = changeEventRules): DataFrame =
+    df.withColumn("errors", errorsColumn(rules))
+
+  /** Split into (clean, quarantined). Both are lazy views over one
+    * annotated plan; with whole-stage codegen the rule evaluation is a
+    * single projection reused by both sinks. */
+  def route(df: DataFrame, rules: Seq[Rule] = changeEventRules)
+      : (DataFrame, DataFrame) = {
+    val annotated = annotate(df, rules)
+    (annotated.filter(size(col("errors")) === 0).drop("errors", "_corrupt", "raw"),
+      annotated.filter(size(col("errors")) > 0)
+        .select(col("raw"), col("errors"), lit("validate").as("stage")))
+  }
+}

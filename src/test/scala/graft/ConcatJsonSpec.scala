@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.ConcatJson
+
+/** Splitter parity with the reference's raw_decode cursor loop
+  * (`/root/reference/ef_ingestion_etl/data_profiling.py:90-110`). */
+class ConcatJsonSpec extends AnyFunSuite {
+
+  test("splits back-to-back documents with no delimiter") {
+    val docs = ConcatJson.split("""{"a":1}{"b":2}{"c":{"d":3}}""")
+    assert(docs == Seq("""{"a":1}""", """{"b":2}""", """{"c":{"d":3}}"""))
+  }
+
+  test("skips corrupt inter-document bytes") {
+    val docs = ConcatJson.split("""xx{"a":1}GARBAGE]){"b":2}""")
+    assert(docs == Seq("""{"a":1}""", """{"b":2}"""))
+  }
+
+  test("a stray unmatched '{' does not swallow later documents") {
+    val docs = ConcatJson.split(""" {[not-json {"a":1}{"b":2}""")
+    assert(docs.contains("""{"a":1}""") && docs.contains("""{"b":2}"""))
+  }
+
+  test("braces and quotes inside strings are not structural") {
+    val d = """{"s":"}{\"{","t":"\\"}"""
+    assert(ConcatJson.split(d + d) == Seq(d, d))
+  }
+
+  test("unterminated trailing object is dropped") {
+    assert(ConcatJson.split("""{"a":1}{"b":""") == Seq("""{"a":1}"""))
+  }
+
+  test("empty and all-garbage input") {
+    assert(ConcatJson.split("").isEmpty)
+    assert(ConcatJson.split("no json here ][ ").isEmpty)
+  }
+}

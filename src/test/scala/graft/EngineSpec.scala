@@ -1,0 +1,193 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apply.CdcApplier
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+
+/** Engine e2e: seeded change log → full pipeline replay → final lake state
+  * must equal a sequential in-memory oracle, by multiset of
+  * (repo, path, commit, lang, sha256(content)) — the content-sha256 parity
+  * invariant (BASELINE.json input_hint), strictly stronger than the
+  * reference's shape-only e2e oracle (`run_e2e_test.py:102-116`).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val N = 4000L
+  val Seed = 7L
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Sequential oracle over the same generated events. */
+  lazy val oracle: Set[(String, String, String, String, String)] = {
+    val rows = ChangeLogGen.events(spark, N, Seed)
+      .filter(lower($"source") === "app.change.log")
+      .select("repo", "path", "commit", "lang", "content", "seq", "op")
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (_, g) => g.maxBy(r => (r.getLong(5), r.getString(2))) }
+      .filter(_.getString(6) != "DELETE")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        sha256(r.getString(4))))
+      .toSet
+  }
+
+  private def lakeState(lake: LakeTable): Set[(String, String, String, String, String)] =
+    lake.read().select($"repo", $"path", $"commit", $"lang", sha2($"content", 256))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+
+  /** Replay the blob-serialized log in `nb` batches through the full
+    * pipeline (split → parse → validate → repair → merge → commit). */
+  private def replayBlobs(lake: LakeTable, nb: Int): Unit = {
+    val blobs = ChangeLogGen.blobs(spark, N, Seed).cache()
+    val perBatch = (N / 100 + nb) / nb // blob_id = id/100
+    (0 until nb).foreach { b =>
+      val batch = blobs.filter($"blob_id" >= b * perBatch && $"blob_id" < (b + 1) * perBatch)
+        .select($"blob").as[String]
+      CdcPipeline.processBlobs(spark, batch, lake, s"batch-$b")
+    }
+    blobs.unpersist()
+  }
+
+  test("full replay via concatenated-JSON blobs matches the oracle (4 batches)") {
+    val lake = new LakeTable(TestSpark.tmpDir("lake4b"), spark)
+    replayBlobs(lake, 4)
+    assert(lakeState(lake) == oracle)
+  }
+
+  test("batch boundaries are irrelevant: 1 batch ≡ 7 batches") {
+    val lakeA = new LakeTable(TestSpark.tmpDir("lake1b"), spark)
+    replayBlobs(lakeA, 1)
+    val lakeB = new LakeTable(TestSpark.tmpDir("lake7b"), spark)
+    replayBlobs(lakeB, 7)
+    assert(lakeState(lakeA) == oracle)
+    assert(lakeState(lakeB) == oracle)
+  }
+
+  test("replay is idempotent: re-applying committed batches is a no-op") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakeidem"), spark)
+    replayBlobs(lake, 3)
+    val vBefore = lake.currentVersion.get
+    replayBlobs(lake, 3) // same batchIds + same offsets → fenced no-ops
+    assert(lake.currentVersion.get == vBefore)
+    assert(lakeState(lake) == oracle)
+  }
+
+  test("resume mid-stream: a second applier re-running from batch 0 loses/dups nothing") {
+    val dir = TestSpark.tmpDir("lakeresume")
+    val lake1 = new LakeTable(dir, spark)
+    val blobs = ChangeLogGen.blobs(spark, N, Seed).cache()
+    val half = (N / 100) / 2
+    CdcPipeline.processBlobs(spark, blobs.filter($"blob_id" < half).select($"blob").as[String],
+      lake1, "r-0")
+    // "crash"; new process picks up the same table root and replays all
+    // batches with fresh batch ids — offsets fence must drop the prefix:
+    val lake2 = new LakeTable(dir, spark)
+    CdcPipeline.processBlobs(spark, blobs.filter($"blob_id" < half).select($"blob").as[String],
+      lake2, "r-0b")
+    CdcPipeline.processBlobs(spark, blobs.filter($"blob_id" >= half).select($"blob").as[String],
+      lake2, "r-1")
+    blobs.unpersist()
+    assert(lakeState(lake2) == oracle)
+  }
+
+  test("orphan data files (crash between write and commit) are invisible") {
+    val dir = TestSpark.tmpDir("lakeorphan")
+    val lake = new LakeTable(dir, spark)
+    replayBlobs(lake, 2)
+    // simulate a crashed writer that left data files but no manifest:
+    val orphan = java.nio.file.Paths.get(dir, "data", "orphan-00000-dead.parquet")
+    Seq(("zzz-repo", "zzz", "c", "scala", "junk", 1L)).toDF(
+      "repo", "path", "commit", "lang", "content", "seq")
+      .coalesce(1).write.mode("overwrite").parquet(TestSpark.tmpDir("orphansrc"))
+    java.nio.file.Files.writeString(orphan, "not even parquet")
+    assert(lakeState(lake) == oracle) // manifest-driven read ignores it
+  }
+
+  test("deletes drop keys whose last event is DELETE") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakedel"), spark)
+    replayBlobs(lake, 2)
+    val lastOps = ChangeLogGen.events(spark, N, Seed)
+      .filter(lower($"source") === "app.change.log")
+      .groupBy($"repo", $"path")
+      .agg(max_by($"op", struct($"seq", $"commit")).as("op"))
+    val deleted = lastOps.filter($"op" === "DELETE").count()
+    assert(deleted > 0, "generator must produce some final-DELETE keys")
+    val stateKeys = lake.read().select($"repo", $"path").as[(String, String)].collect().toSet
+    val deletedKeys = lastOps.filter($"op" === "DELETE")
+      .select($"repo", $"path").as[(String, String)].collect().toSet
+    assert(stateKeys.intersect(deletedKeys).isEmpty)
+  }
+
+  test("salted LWW reduce ≡ plain LWW reduce") {
+    val applier = new CdcApplier(new LakeTable(TestSpark.tmpDir("lakesalt"), spark), spark)
+    val ev = ChangeLogGen.events(spark, 2000, Seed)
+      .select("repo", "path", "commit", "lang", "content", "seq", "op", "part")
+    val plain = applier.lwwReduce(ev).collect().map(_.toSeq).toSet
+    val salted = applier.saltedLwwReduce(ev, 16).collect().map(_.toSeq).toSet
+    assert(plain == salted)
+  }
+
+  test("time travel: earlier snapshot is still readable and smaller/equal") {
+    val lake = new LakeTable(TestSpark.tmpDir("laketime"), spark)
+    replayBlobs(lake, 3)
+    val early = lake.read(Some(0L)).count()
+    assert(early > 0 && lake.currentVersion.get >= 2)
+    // v0 state must equal replaying only batch 0 — snapshot isolation:
+    assert(early == lake.snapshot(0L).files.map(_.rows).sum)
+    assert(lakeState(lake) == oracle)
+  }
+
+  test("quarantine: wrong-source and corrupt rows are routed, not dropped silently") {
+    val blobs = ChangeLogGen.blobs(spark, 1000, Seed).select($"blob").as[String]
+    val docs = graft.codec.ConcatJson.explodeDocs(blobs)
+    val parsed = graft.codec.ConcatJson.parse(docs, spark)
+    val (clean, dirty) = graft.validate.Validate.route(parsed)
+    val cleanN = clean.count()
+    val dirtyN = dirty.count()
+    assert(cleanN + dirtyN == 1000, s"clean=$cleanN dirty=$dirtyN")
+    assert(dirtyN > 0)
+    val reasons = dirty.select(explode($"errors")).as[String].collect().toSet
+    assert(reasons.contains("wrong_source"))
+  }
+
+  test("schema evolution: promoted column appears, old rows read as null") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakeevo"), spark)
+    val ev = ChangeLogGen.events(spark, 500, Seed)
+    // batch 0: canonical shape only
+    CdcPipeline.processEvents(spark,
+      ev.filter($"seq" < 250), lake, "evo-0")
+    assert(!lake.read().columns.contains("stars"))
+    // batch 1: producer starts emitting a new payload column `stars`
+    val withStars = ev.filter($"seq" >= 250)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq",
+        (pmod($"seq", lit(50))).as("stars"))
+    new CdcApplier(lake, spark).applyBatch(withStars, "evo-1")
+    val out = lake.read()
+    assert(out.columns.contains("stars"))
+    val nulls = out.filter($"stars".isNull).count()
+    val vals = out.filter($"stars".isNotNull).count()
+    assert(nulls > 0 && vals > 0) // old rows null, new rows populated
+  }
+
+  test("lineage counters are recorded per commit") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakelin"), spark)
+    replayBlobs(lake, 2)
+    val lin = lake.currentSnapshot.get.lineage
+    assert(lin("rowsAfter") > 0 && lin("upserts") > 0 && lin("deletes") > 0)
+    assert(lin("rowsAfter") == lake.read().count())
+  }
+}

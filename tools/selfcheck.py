@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Self-check harness mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+For each query result parquet in <verifyOutDir>/<name>/ compare against the
+oracle SQL in <verifyOutDir>/oracle_sql.json run by DuckDB over the same
+tables: schema (column names), row count, and value-hash after sorting
+columns by name and rows by all values.
+"""
+import sys, json, glob, math
+
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name, normalize cell values, sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    rr.append("NaN")
+                else:
+                    rr.append(repr(v))
+            else:
+                rr.append(str(v))
+        out.append(tuple(rr))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for tbl in ["region","nation","customer","supplier","part","orders",
+                "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no result parquet"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        gcols, grows = canon(got.fetchall(), got.columns)
+        try:
+            exp = con.sql(sql)
+            ecols, erows = canon(exp.fetchall(), exp.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        if gcols != ecols:
+            print(f"FAIL {name}: cols {gcols} != {ecols}"); n_fail += 1; continue
+        if len(grows) != len(erows):
+            print(f"FAIL {name}: rows {len(grows)} != {len(erows)}"); n_fail += 1; continue
+        if grows != erows:
+            diffs = [(a, b) for a, b in zip(grows, erows) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            n_fail += 1; continue
+        print(f"PASS {name}: {len(grows)} rows")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
