@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is one hash aggregate on a 64-hex digest — shuffle on
+  *    the digest, never on the content;
+  *  - MinHash/LSH turns all-pairs O(n²) similarity into a bucket
+  *    equi-join: explode to (band, bucket) keys, self-join per bucket,
+  *    verify candidates with true Jaccard. Shuffle volume is
+  *    O(n · bands), candidate verification only touches colliding pairs;
+  *  - SimHash reduces each doc to one 64-bit signature; near-dup =
+  *    Hamming distance ≤ r, found by the standard pigeonhole block trick
+  *    (equi-join per block), again avoiding any N² comparison.
+  *
+  * Hash discipline: md5-hex string minima (portable to the DuckDB
+  * oracle); signatures compare as strings.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical `textCol` by sha256 digest, keep the
+    * smallest id as canonical. One shuffle on the digest. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("content_sha"), col(idCol))
+      .groupBy(col("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** MinHash signature: `numHashes` independent min-md5 values over the
+    * char-k-gram shingle set. Signature h_i = min over shingles of
+    * md5(i ':' shingle) — string minima, deterministic, engine-portable. */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(TextAnalysis.shingles(text, k),
+        s => md5(concat(h.cast("string"), lit(":"), s)))))
+
+  /** LSH banding: split the signature into `bands` equal bands, hash each
+    * to a bucket key. Docs sharing any (band, bucket) are candidates. */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
+
+  /** Full MinHash+LSH near-dup candidate pairs with exact-Jaccard verify.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * Plan shape: project shingles+signature once → explode bands →
+    * self equi-join on (band, bucket) → dedup pairs → verify Jaccard on
+    * the (small) candidate set. The join is an equi-join on the bucket
+    * hash: sort-merge/shuffled-hash, AQE-skew-splittable — never a
+    * cartesian. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), k).as("sh"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val banded = base.select(col("id"), col("sh"),
+      explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens, as a 16-hex-char string
+    * (4 bits per nibble). Per bit: majority vote of ±1 across the
+    * tokens' md5 bits; portable hex-nibble math (conv), identical in any
+    * engine. Pure column expressions — one projection, no UDF. */
+  def simhashHex(text: Column): Column = {
+    val toks = array_distinct(split(trim(text), "\\s+"))
+    // 16 nibbles; nibble j comes from hex char j of each token's md5:
+    // majority vote per bit of the nibble.
+    val nibbles = transform(sequence(lit(0), lit(15)), j => {
+      val votes = aggregate(toks,
+        array(lit(0), lit(0), lit(0), lit(0)),
+        (acc, t) => {
+          val nib = conv(md5(t).substr(j + 1, lit(1)), 16, 10).cast("int")
+          // bit (3-bi) of the nibble, without shiftright-by-Column:
+          transform(acc, (a, bi) =>
+            a + when(floor(nib / pow(lit(2.0), (lit(3) - bi).cast("double")))
+              .cast("int").mod(2) === 1, 1).otherwise(-1))
+        })
+      val packed = aggregate(votes, lit(0),
+        (acc, v) => acc * 2 + when(v > 0, 1).otherwise(0))
+      lower(conv(packed.cast("string"), 10, 16))
+    })
+    concat_ws("", nibbles)
+  }
+
+  /** SimHash near-dup pairs by pigeonhole: two docs within Hamming
+    * distance ≤ 3 over 16 nibbles must agree exactly on one of 4
+    * nibble-blocks → equi-join per block, verify nibble-distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxNibbleDist: Int = 3): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"), simhashHex(col(textCol)).as("sig"))
+    val blocked = sigd.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("blk"), col("sig").substr(b * 4 + 1, lit(4)).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val a = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming_nibbles",
+        size(filter(zip_with(
+          split(col("sig_a"), ""), split(col("sig_b"), ""),
+          (x, y) => x =!= y), v => v)))
+      .filter(col("hamming_nibbles") <= maxNibbleDist)
+      .select(col("id_a"), col("id_b"), col("hamming_nibbles"))
+  }
+
+  /** Direct n-gram Jaccard similarity between two text columns. */
+  def ngramJaccard(a: Column, b: Column, k: Int = 5): Column = {
+    val sa = TextAnalysis.shingles(a, k)
+    val sb = TextAnalysis.shingles(b, k)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct, processed in batches via `mapPartitions` over a typed Dataset
+  * (the JVM analog of `mapInPandas`: per-partition batch iteration, one
+  * decoder instance per partition, no per-row setup cost).
+  *
+  * The actual codec calls are STUBBED — no image/audio libraries exist in
+  * this container — behind [[MediaCodec]]: `decodeStub` produces a
+  * deterministic fake feature vector from the bytes. The Spark-side
+  * contract (schema, batching, partitioning, null handling) is real and
+  * tested; swapping in a real decoder touches only [[MediaCodec]].
+  */
+object Multimodal {
+
+  case class MediaMeta(mediaType: String, widthPx: Int, heightPx: Int, durationMs: Long)
+  case class MediaRow(mediaId: Long, media: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(mediaId: Long, nBytes: Long, sha: String,
+      features: Array[Float], frameCount: Int)
+
+  /** The stub boundary: deterministic fake "decode" so the plumbing is
+    * testable. A real deployment replaces the body with e.g. a JNI/FFM
+    * codec call — signature and batch shape stay identical. */
+  object MediaCodec {
+    /** Stubbed decode+feature-extract: 8 floats derived from byte stats. */
+    def decodeStub(bytes: Array[Byte], meta: MediaMeta): (Array[Float], Int) = {
+      if (bytes == null || bytes.isEmpty) return (Array.fill(8)(0f), 0)
+      val sums = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) { sums(i % 8) += bytes(i) & 0xff; i += 1 }
+      val feats = sums.map(s => (s.toDouble / bytes.length).toFloat)
+      val frames = // deterministic fake frame sample count
+        if (meta.durationMs > 0) math.max(1, (meta.durationMs / 1000).toInt) else 1
+      (feats, frames)
+    }
+  }
+
+  /** Batch feature extraction: one pass per partition, codec initialized
+    * once per partition (the expensive-init pattern of mapInPandas). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val (feats, frames) = MediaCodec.decodeStub(r.media, r.meta)
+        digest.reset()
+        val sha = digest.digest(if (r.media == null) Array.emptyByteArray else r.media)
+          .map("%02x".format(_)).mkString
+        MediaFeatures(r.mediaId, if (r.media == null) 0L else r.media.length.toLong,
+          sha, feats, frames)
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the documents table: text bytes
+    * stand in for the opaque payload (columnar plumbing identical). */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("mediaId"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mediaType"),
+        (pmod(col("doc_id"), lit(1920)) + 1).cast("int").as("widthPx"),
+        (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("heightPx"),
+        (pmod(col("doc_id"), lit(60000))).as("durationMs")).as("meta"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the corpus; one scan, no shuffle of the corpus,
+  *    per-partition top-k before the final k-way merge.
+  *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets
+  *    (deterministic hyperplanes derived from md5, so results are
+  *    reproducible); candidates = same-bucket rows only, turning the
+  *    cross product into an equi-join. Recall < 1 by construction;
+  *    probe multiple tables to trade cost for recall.
+  *  - [[quantizedDotTopK]]: integer-quantized dot-product ranking —
+  *    exact-arithmetic variant used for the DuckDB oracle gate.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double (left-to-right, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries(qid, qvec)` is broadcast; corpus never shuffles until the
+    * per-query top-k reduction (k rows per query). */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))),
+        col("neighbor_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Quantize to integer grid: round(x*1000) as bigint per element. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors — exact in any engine. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by quantized dot product (oracle-parity variant): ranking on
+    * exact integers, ties broken by neighbor id. */
+  def quantizedDotTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv"))
+      .join(broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq"))),
+        col("neighbor_id") =!= col("qid"))
+      .withColumn("qdot", qdot(col("qv"), col("qq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("qdot"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component h(plane, dim) ∈
+    * {-1, +1}, derived from md5 — reproducible across runs/engines. */
+  private def planeSign(plane: Column, dim: Column): Column =
+    when(conv(substring(md5(concat(plane.cast("string"), lit("/"),
+      dim.cast("string"))), 1, 1), 16, 10).cast("int") >= 8, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Sign-random-projection bucket: `nPlanes`-bit signature of the
+    * vector (bit p = sign of Σᵢ v[i]·h(p,i)). Vectors in the same bucket
+    * are ANN candidates. */
+  def lshBucket(vec: Column, nPlanes: Int = 12): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket
+    * (equi-join on bucket id), then exact cosine rank within candidates.
+    * The scale path: shuffle keys are bucket ids, never a cross join. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nPlanes: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val q = queries.select(col("qid"), col("qvec"),
+      lshBucket(col("qvec"), nPlanes).as("bucket"))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

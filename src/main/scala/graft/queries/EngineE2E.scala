@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.apply.CdcApplier
+import graft.lake.LakeTable
+
+/** The engine itself under the driver's DuckDB gate: reinterpret the
+  * `events` table as a CDC changelog, replay it through the full apply
+  * path (offsets fence → LWW reduce → copy-on-write MERGE → snapshot
+  * commits) in three batches into a fresh lake, and return the final
+  * table state. The oracle is plain SQL LWW-with-deletes — so this one
+  * query certifies merge, delete, ordering, multi-batch commit and
+  * snapshot-read correctness against an independent engine.
+  */
+object EngineE2E {
+
+  /** events → canonical change events. Deterministic mapping mirrored in
+    * the oracle SQL: key=(r<user_id%37>, p<user_id>), seq=event_id,
+    * error⇒DELETE, signup⇒INSERT else UPDATE, content=props. */
+  private def asChanges(ev: DataFrame): DataFrame =
+    ev.select(
+      when(col("event_type") === "error", lit("DELETE"))
+        .when(col("event_type") === "signup", lit("INSERT"))
+        .otherwise(lit("UPDATE")).as("op"),
+      pmod(col("user_id"), lit(4)).cast("string").as("part"),
+      concat(lit("r"), pmod(col("user_id"), lit(37)).cast("string")).as("repo"),
+      concat(lit("p"), col("user_id").cast("string")).as("path"),
+      md5(concat(lit("c"), col("event_id").cast("string"))).as("commit"),
+      col("event_type").as("lang"),
+      col("props").as("content"),
+      col("event_id").as("seq"))
+
+  /** q22 — full engine replay; output = final lake state with content
+    * digests. */
+  def q22CdcReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val changes = asChanges(ev)
+    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cut1 = maxSeq / 3
+    val cut2 = 2 * maxSeq / 3
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-e2e-lake").toString
+    val lake = new LakeTable(lakeDir, spark)
+    val applier = new CdcApplier(lake, spark)
+    applier.applyBatch(changes.filter(col("seq") <= cut1), "e2e-0")
+    applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "e2e-1")
+    applier.applyBatch(changes.filter(col("seq") > cut2), "e2e-2")
+    lake.read().select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("content_sha"), col("seq"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_cdc_engine_replay" -> q22CdcReplay _)
+
+  val oracles: Map[String, String] = Map(
+    "q22_cdc_engine_replay" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin)
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (dedup, similarity search, text analysis, multimodal plumbing), each
+  * gated by a DuckDB oracle where the op is SQL-expressible; heavier
+  * sketch pipelines (MinHash-LSH, SimHash, LSH-ANN) run as rows-only
+  * checks.
+  *
+  * Cross-engine determinism: fingerprints/signatures are md5-hex string
+  * minima; similarity ranking for the oracle-gated query uses
+  * integer-quantized dot products; ratios divide exact integer counts.
+  */
+object TrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** q11 — exact dedup by content digest. */
+  def q11DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text")
+
+  /** q12 — token counting (whitespace + BPE-ish regex). */
+  def q12TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens_ws"),
+      TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_tokens_re"),
+      length(col("text")).cast("long").as("n_chars_m"))
+
+  /** q13 — language ID (stopword n-gram heuristic). */
+  def q13LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_meta"),
+      TextAnalysis.langId(col("text")).as("lang_guess"))
+
+  /** q14 — quality scoring (length/punct/stopword features). */
+  def q14Quality(spark: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    docs(spark, dir).select(
+      col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** q15 — document fingerprints (md5-64 + min-shingle). */
+  def q15Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint64(col("text")).as("fp64"),
+      TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp"))
+
+  /** q16 — n-gram Jaccard similarity on adjacent doc pairs (the exact
+    * verify kernel used by the LSH pipeline, oracle-gated). */
+  def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("text").as("text_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+  }
+
+  /** q17 — MinHash+LSH near-dup candidates (rows-only check; signature on
+    * a 200-char prefix bounds cost, verify on full shingles). */
+  def q17MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+    Dedup.minhashLsh(d, "doc_id", "text", k = 5, numHashes = 16, bands = 4,
+      threshold = 0.0)
+  }
+
+  /** q18 — SimHash signatures + pigeonhole near-dup pairs (rows-only). */
+  def q18Simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      Dedup.simhashHex(col("text")).as("simhash"))
+
+  /** q19 — ANN brute-force top-5 by quantized dot product (oracle-gated
+    * exact-integer ranking; queries = vec_id < 10, broadcast). */
+  def q19AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.quantizedDotTopK(e, "vec_id", "embedding", q, 5)
+  }
+
+  /** q20 — ANN scale path: sign-random-projection LSH buckets, cosine
+    * rank within bucket (rows-only; approximate by construction). */
+  def q20AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopK(e, "vec_id", "embedding", q, 5, nPlanes = 8)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
+  /** q21 — multimodal plumbing: opaque binary payload + typed metadata →
+    * batched feature extraction via mapPartitions (decode stubbed, the
+    * deterministic outputs are oracle-gated). */
+  def q21MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(spark, docs(spark, dir))
+    Multimodal.extractFeatures(media)
+      .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
+        col("sha"), col("frameCount").as("frame_count"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_dedup_exact" -> q11DedupExact _,
+    "q12_token_stats" -> q12TokenStats _,
+    "q13_langid" -> q13LangId _,
+    "q14_quality" -> q14Quality _,
+    "q15_fingerprint" -> q15Fingerprint _,
+    "q16_ngram_jaccard" -> q16NgramJaccard _,
+    "q17_minhash_lsh" -> q17MinhashLsh _,
+    "q18_simhash" -> q18Simhash _,
+    "q19_ann_quantized" -> q19AnnQuantized _,
+    "q20_ann_lsh" -> q20AnnLsh _,
+    "q21_media_features" -> q21MediaFeatures _,
+  )
+
+  private val stopEnSql = "['the','a','and','of','to','in','is','it']"
+
+  val oracles: Map[String, String] = Map(
+    "q11_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
+        | count(*) AS dup_cnt
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "q12_token_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+        | length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_re,
+        | length(text) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "q13_langid" ->
+      s"""SELECT doc_id, lang AS lang_meta,
+        | CASE WHEN en >= de AND en >= fr THEN 'en'
+        |      WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess
+        |FROM (
+        | SELECT doc_id, lang,
+        |  length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |    w -> list_contains($stopEnSql, w))) AS en,
+        |  length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |    w -> list_contains(['der','die','das','und','ist','nicht','ein'], w))) AS de,
+        |  length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |    w -> list_contains(['le','la','et','les','des','est','une'], w))) AS fr
+        | FROM documents)""".stripMargin,
+    "q14_quality" ->
+      s"""SELECT doc_id,
+        | length(text) AS n_chars,
+        | toks AS n_tokens,
+        | CASE WHEN length(text)=0 THEN 0.0
+        |   ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        | CASE WHEN length(text)=0 THEN 0.0
+        |   ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) END AS upper_ratio,
+        | CASE WHEN toks=0 THEN 0.0
+        |   ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+        |        / CAST(toks AS DOUBLE) END AS mean_tok_len,
+        | CASE WHEN toks=0 THEN 0.0
+        |   ELSE CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |          w -> list_contains($stopEnSql, w))) AS DOUBLE)
+        |        / CAST(toks AS DOUBLE) END AS stop_ratio
+        |FROM (SELECT *, CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE length(string_split_regex(trim(text), '\\s+')) END AS toks
+        |      FROM documents)""".stripMargin,
+    "q15_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp64,
+        | list_aggregate(list_transform(
+        |   list_distinct([substr(text, i, 5)
+        |     for i in range(1, greatest(length(text)-4, 1)+1)]),
+        |   s -> md5(s)), 'min') AS shingle_fp
+        |FROM documents""".stripMargin,
+    "q16_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct([substr(text, i, 5)
+        |   for i in range(1, greatest(length(text)-4, 1)+1)]) AS s
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / CAST(length(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q19_ann_quantized" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qq
+        | FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        | FROM embeddings)
+        |SELECT qid, neighbor_id, rank, qdot FROM (
+        | SELECT qid, neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rank,
+        |   qdot
+        | FROM (SELECT qid, neighbor_id,
+        |         list_sum([qv[i]*qq[i] for i in range(1, len(qv)+1)]) AS qdot
+        |       FROM c JOIN q ON neighbor_id <> qid))
+        |WHERE rank <= 5""".stripMargin,
+    "q21_media_features" ->
+      """SELECT doc_id AS media_id,
+        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | sha256(text) AS sha,
+        | greatest(1, CAST(floor((doc_id % 60000) / 1000.0) AS INT)) AS frame_count
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data operator behavior: dedup sketches find planted
+  * near-duplicates, ANN paths agree with each other, multimodal plumbing
+  * round-trips bytes. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and columnar formats"),
+    (3L, "completely different content about spark query engines and columnar formats"), // exact dup of 2
+    (4L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 2L) // keep_id = min id of the pair (2,3)
+  }
+
+  test("minhash LSH surfaces the planted near-dup and the exact dup") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in $pairs")
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: identical=1.0, near-dup high, unrelated low") {
+    val j = docs.as("a").join(docs.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.ngramJaccard($"a.text", $"b.text").as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((2L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.7)
+    assert(j((0L, 2L)) < 0.2)
+  }
+
+  test("simhash: exact dups share signature; near-dups within distance 3; pairs found") {
+    val sigs = docs.select($"doc_id", Dedup.simhashHex($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(2L) == sigs(3L))
+    assert(sigs.values.forall(_.length == 16))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 3L)))
+  }
+
+  test("quantized-dot ANN matches brute-force cosine ranking on unit-ish data") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin(i * 31 + d * 7) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val qd = Similarity.quantizedDotTopK(vecs, "vec_id", "embedding", q, 5)
+      .select($"qid", $"neighbor_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(qd.size == 15)
+    // brute cosine on the same data: top-1 must agree (quantization at
+    // 1e-3 cannot flip a clear winner on sin-separated vectors)
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 1)
+      .select($"qid", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 2L).foreach { qid => assert(bf(qid) == qd((qid, 1))) }
+  }
+
+  test("LSH ANN returns same-bucket candidates with correct ranks") {
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i + d * 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 3, nPlanes = 4).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+
+  test("multimodal plumbing: batched stub decode, sha + byte counts exact") {
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 5)
+    feats.foreach { f =>
+      assert(f.features.length == 8)
+      assert(f.nBytes > 0 && f.frameCount >= 1)
+    }
+    val expectedSha = docs.select($"doc_id", sha2($"text", 256)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach(f => assert(f.sha == expectedSha(f.mediaId)))
+  }
+
+  test("text analysis: token counts, language id, fingerprints behave") {
+    val out = docs.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint64($"text").as("fp"),
+      TextAnalysis.shingleFingerprint($"text").as("sfp")).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(4L).getInt(1) == 3)
+    assert(byId(0L).getString(2) == "en") // 'the' rich text
+    assert(out.map(_.getString(3)).forall(_.length == 16))
+    // empty text edge
+    val e = Seq((9L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.tokenCount($"text")).head().getInt(0)
+    assert(e == 0)
+  }
+}
