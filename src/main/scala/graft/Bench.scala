@@ -1,24 +1,158 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.apply.CdcApplier
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+
+/** Benchmark harness (driver-run per round → BENCH_r{N}.json).
+  *
+  * Emits ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *    "sf":"<dir>","cdc_replay":{"events":N,"sec":s,"events_per_sec":r},
+  *    "scaling":{"cpus_lo":8,"cpus_hi":32,"events_per_sec_lo":…,
+  *               "events_per_sec_hi":…,"efficiency":…}}
+  *
+  * The scaling section evidences the north rule's two-cluster-size
+  * criterion in-sandbox: identical replay job, identical input, at
+  * local[8] (N) vs local[32] (4N); efficiency =
+  * throughput(4N) / (4 · throughput(N)).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private[graft] def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // bench inputs are small relative to the default 128 MB split —
+      // size scan splits so every core gets work (same knob a 100 TB run
+      // tunes the other way):
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Replay `n` pre-materialized canonical change events through the
+    * apply path (fence → CoW MERGE → snapshot commit) in `batches`
+    * micro-batches; returns elapsed seconds. */
+  private[graft] def replay(spark: SparkSession, eventsPath: String, n: Long,
+      batches: Int): Double = {
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-bench-lake")
+    val lake = new LakeTable(lakeDir.toString, spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = spark.read.parquet(eventsPath)
+    val per = n / batches + 1
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      applier.applyBatch(
+        ev.filter(col("seq") >= b * per && col("seq") < (b + 1) * per), s"bench-$b")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRec(lakeDir)
+    sec
+  }
+
+  /** Replay the WIRE format: concatenated-JSON blobs through the whole
+    * pipeline (split → parse → validate → repair → MERGE → commit) —
+    * the true binlog-tail path, and the CPU-bound one. */
+  private[graft] def replayWire(spark: SparkSession, blobsPath: String, nBlobs: Long,
+      batches: Int): Double = {
+    import spark.implicits._
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-bench-wlake")
+    val lake = new LakeTable(lakeDir.toString, spark)
+    val blobs = spark.read.parquet(blobsPath)
+    val per = nBlobs / batches + 1
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      CdcPipeline.processBlobs(spark,
+        blobs.filter(col("blob_id") >= b * per && col("blob_id") < (b + 1) * per)
+          .select(col("blob")).as[String],
+        lake, s"wire-$b")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRec(lakeDir)
+    sec
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    // ---- 1. operator queries at local[cpus] ----
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- 2. pre-materialize the synthetic binlog once (not timed):
+    // both canonical parquet events and the raw wire format. ----
+    val evPath = java.nio.file.Files.createTempDirectory("graft-bench-ev")
+    val evDir = evPath.toString + "/events"
+    val blobDir = evPath.toString + "/blobs"
+    val nRepos = math.max(100, (nEvents / 1000).toInt)
+    val blobSize = 200
+    ChangeLogGen.events(spark, nEvents, seed = 42L, nRepos = nRepos,
+        pathsPerRepo = 100, parts = 32)
+      .filter(lower(col("source")) === "app.change.log")
+      .select("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+      .write.mode("overwrite").parquet(evDir)
+    ChangeLogGen.blobs(spark, nEvents, seed = 42L, nRepos = nRepos,
+        pathsPerRepo = 100, parts = 32, blobSize = blobSize)
+      .write.mode("overwrite").parquet(blobDir)
+    val nBlobs = nEvents / blobSize + 1
+
     spark.stop()
+
+    // ---- 3+4. every timed measurement runs in an ISOLATED subprocess
+    // JVM (fresh JIT/GC/temp state — same-JVM reuse was measurably
+    // poisoned by accumulated state) with an in-process warmup run
+    // before the measured run. ----
+    val replaySec = BenchIsolated.run("events", evDir, nEvents, 4, cpus)
+    val eps = nEvents / replaySec
+    val wireSec = BenchIsolated.run("wire", blobDir, nBlobs, 4, cpus)
+    val wireEps = nEvents / wireSec
+
+    // scaling efficiency: N=8 vs 4N=32 cores, same input, same job (the
+    // wire replay — the CPU-bound full pipeline). Interleaved best-of-2
+    // per level: min is robust against whole-box noise drift.
+    val scalingJson = if (runScaling) {
+      val lo = 8; val hi = 32
+      val secLo1 = BenchIsolated.run("wire", blobDir, nBlobs, 4, lo)
+      val secHi1 = if (hi == cpus) wireSec
+        else BenchIsolated.run("wire", blobDir, nBlobs, 4, hi)
+      val secLo = math.min(secLo1, BenchIsolated.run("wire", blobDir, nBlobs, 4, lo))
+      val secHi = math.min(secHi1, BenchIsolated.run("wire", blobDir, nBlobs, 4, hi))
+      val epsLo = nEvents / secLo
+      val epsHi = nEvents / secHi
+      val eff = epsHi / ((hi.toDouble / lo) * epsLo)
+      f""","scaling":{"job":"wire_replay","cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"events_per_sec_lo":$epsLo%.1f,"events_per_sec_hi":$epsHi%.1f,"efficiency":$eff%.3f}"""
+    } else ""
+    deleteRec(evPath)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_replay":{"events":$nEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.1f},"cdc_replay_wire":{"events":$nEvents,"sec":$wireSec%.3f,"events_per_sec":$wireEps%.1f}$scalingJson}""")
   }
 }

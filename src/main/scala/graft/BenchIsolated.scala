@@ -1,0 +1,57 @@
+package graft
+
+/** Isolated-measurement support for [[Bench]]: each timed replay runs in
+  * its own JVM so JIT state, GC debt, accumulated temp/shuffle state and
+  * session history cannot leak between measurements (same-JVM sequential
+  * sessions showed up to 5x order-dependent drift on this box). Inside
+  * the subprocess the job still runs twice — warmup, then measured. */
+object BenchIsolated {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run one warmup+measured replay in a fresh JVM; returns measured
+    * seconds (parsed from the child's GRAFT_SECONDS line). */
+  def run(mode: String, path: String, n: Long, batches: Int, cpus: Int): Double = {
+    import scala.sys.process._
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java, "-Xmx24g", "-XX:+UseG1GC") ++ addOpens ++ Seq(
+      "-cp", cp, "graft.ScalingRunner",
+      mode, path, n.toString, batches.toString, cpus.toString)
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(
+      line => { out.append(line).append('\n'); () }, _ => ()))
+    require(code == 0, s"isolated bench exited $code:\n${out.result().takeRight(2000)}")
+    val line = out.result().linesIterator
+      .find(_.startsWith("GRAFT_SECONDS="))
+      .getOrElse(sys.error(s"no GRAFT_SECONDS in output:\n${out.result().takeRight(2000)}"))
+    line.stripPrefix("GRAFT_SECONDS=").toDouble
+  }
+}
+
+/** Child entry point: one warmup replay + one measured replay. */
+object ScalingRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(mode, path, nStr, batchesStr, cpusStr) = args
+    val spark = Bench.session(cpusStr.toInt)
+    val n = nStr.toLong
+    val b = batchesStr.toInt
+    def once(): Double = mode match {
+      case "wire" => Bench.replayWire(spark, path, n, b)
+      case _ => Bench.replay(spark, path, n, b)
+    }
+    once() // warmup
+    val sec = once()
+    println(f"GRAFT_SECONDS=$sec%.3f")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -24,6 +24,11 @@ object CdcPipeline {
     * evolution). Returns (committedVersion, quarantined DataFrame). */
   def processBlobs(spark: SparkSession, blobs: Dataset[String], lake: LakeTable,
       batchId: String, promote: Seq[String] = Nil): (Long, DataFrame) = {
+    // NOTE on parallelism: blobs are coarse (a blob ≈ one Firehose file),
+    // so decode concurrency is governed by the SOURCE partitioning —
+    // size `spark.sql.files.maxPartitionBytes` so the scan yields at
+    // least one split per core (a shuffle here would double-handle the
+    // raw bytes; tuning the scan split size is free).
     val docs = ConcatJson.explodeDocs(blobs)
     val parsed = ConcatJson.parse(docs, spark)
     val (clean, dirty) = Validate.route(parsed)

@@ -1,6 +1,6 @@
 package graft.apply
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -9,23 +9,29 @@ import graft.lake.LakeTable
 
 /** The engine core: per-micro-batch CDC apply (SURVEY.md §7.1 module 6).
   *
-  * parse → validate → repair (upstream) → offsets fence → in-batch LWW
-  * reduce → manifest-pruned copy-on-write MERGE → atomic snapshot commit.
+  * parse → validate → repair (upstream) → offsets fence →
+  * manifest-pruned copy-on-write MERGE (which subsumes the in-batch LWW
+  * reduce) → atomic snapshot commit.
   *
   * Scale design decisions (for the 1000-executor / 10^10-event case):
-  *  - The MERGE is NOT a full-outer join: both sides (touched base files ∪
-  *    deduped changes) are unioned and reduced with one hash aggregate
-  *    `max_by(row, (seq, commit, isChange))` — a single shuffle on the
-  *    key, map-side partial aggregation for free, no sort. `commit` makes
-  *    the order total (deterministic replay, SURVEY.md §7.4-2); `isChange`
-  *    breaks exact replays toward the change (idempotent deletes).
+  *  - ONE shuffle per batch. The MERGE is not a join: touched base rows ∪
+  *    fenced change events are unioned and reduced by a single hash
+  *    aggregate `max_by(row, (seq, commit, isChange))`. That aggregate IS
+  *    the in-batch LWW dedup and the cross-batch LWW resolution at once —
+  *    map-side partial aggregation shrinks hot keys before the exchange.
+  *    (Catalyst plans max_by-over-struct as SortAggregate — struct
+  *    buffers aren't hash-aggregable — but the partial_max_by below the
+  *    exchange is what kills skew; a window row_number would shuffle
+  *    every duplicate.) `commit` totals the order
+  *    (deterministic replay, SURVEY.md §7.4-2); `isChange` breaks exact
+  *    replays toward the change (idempotent deletes).
   *  - Copy-on-write touches only data files whose manifest key-range
-  *    intersects the batch's repos (file-level pruning — everything else
-  *    is retained by reference, zero IO).
-  *  - Hot-key skew: the in-batch reduce is already partial-agg'd map-side;
-  *    for adversarial single-key floods [[saltedLwwReduce]] splits each
-  *    key into `salts` subkeys for a first-phase reduce (both phases hash
-  *    aggregates), and AQE skew-join handling stays on as backstop.
+  *    intersects the batch's repos (file-level pruning); untouched files
+  *    carry over by reference, zero IO.
+  *  - Hot-key skew: map-side combine already collapses per-partition
+  *    duplicates; for adversarial single-key floods [[saltedLwwReduce]]
+  *    pre-shrinks with a two-phase (key,salt) reduce, and AQE skew
+  *    handling stays on as backstop.
   *  - Exactly-once: the offsets fence filters already-applied events
   *    (`seq <= committed[part]`), and the snapshot commit records
   *    `(batchId, offsets)` — replaying a committed batch is a metadata
@@ -43,7 +49,8 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
   private val metaCols = Set("op", "part", "event_id", "schema_ver", "source")
   private val keyCols = Seq("repo", "path")
 
-  /** In-batch LWW dedup (A3): one hash aggregate, no window/sort. */
+  /** Standalone in-batch LWW dedup (A3) — exposed as an operator; the
+    * apply path folds this into the merge aggregate instead. */
   def lwwReduce(events: DataFrame): DataFrame = {
     val valueCols = events.columns.filterNot(keyCols.contains)
     events.groupBy(keyCols.map(col): _*)
@@ -76,7 +83,7 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
     // ---- 1. offsets fence: drop events at-or-below the committed
     // high-watermark of their source partition (exactly-once resume). ----
     val committed = lake.committedOffsets
-    val fenced =
+    val fencedRaw =
       if (committed.isEmpty) events
       else {
         val offDf = committed.toSeq.toDF("part", "_off")
@@ -84,24 +91,31 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
           .filter(col("_off").isNull || col("seq") > col("_off"))
           .drop("_off")
       }
-
-    // ---- 2. in-batch LWW + new offsets (one pass, cached: the batch is
-    // micro-batch-sized by construction — O2's 500-file cap analog). ----
-    val reduced = lwwReduce(fenced).cache()
+    // micro-batch-sized by construction (O2's 500-file-cap analog) —
+    // cached because four independent jobs consume it below.
+    val fenced = fencedRaw.cache()
     try {
-      val offRows = fenced.groupBy(col("part")).agg(max(col("seq")).as("s")).collect()
-      val newOffsets = committed ++ offRows.map(r => r.getString(0) -> r.getLong(1))
-        .map { case (p, s) => p -> math.max(s, committed.getOrElse(p, Long.MinValue)) }
-      if (offRows.isEmpty) { // nothing new: idempotent no-op commit path
-        val snap = lake.currentSnapshot
-        return snap.map(_.version).getOrElse(
+      // ---- 2. ONE stats job: per-part offsets + lineage counts +
+      // touched-repo set (all metadata-scale). ----
+      val offRows = fenced.groupBy(col("part")).agg(
+        max(col("seq")).as("s"),
+        sum(when(col("op") === Op.Delete, 1L).otherwise(0L)).as("d"),
+        sum(when(col("op") =!= Op.Delete, 1L).otherwise(0L)).as("u"),
+        collect_set(col("repo")).as("repos")).collect()
+      if (offRows.isEmpty) { // nothing new: idempotent no-op path
+        return lake.currentSnapshot.map(_.version).getOrElse(
           lake.commit(batchId, committed, graft.core.Model.lakeSchemaV1, Nil, Nil))
       }
+      val newOffsets = committed ++ offRows.map(r => r.getString(0) -> r.getLong(1))
+        .map { case (p, s) => p -> math.max(s, committed.getOrElse(p, Long.MinValue)) }
+      val deletes = offRows.map(_.getLong(2)).sum
+      val upserts = offRows.map(_.getLong(3)).sum
+      val changedRepos = offRows.iterator
+        .flatMap(_.getSeq[String](4)).toSet
 
       // ---- 3. schema evolution: promote new value columns. ----
-      val curSchema = lake.currentSnapshot.map(_.schema)
-        .getOrElse(StructType(Nil))
-      val eventValueFields = reduced.schema.fields
+      val curSchema = lake.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
+      val eventValueFields = fenced.schema.fields
         .filterNot(f => metaCols.contains(f.name))
       val evolved = StructType(
         curSchema.fields.filterNot(f => metaCols.contains(f.name)) ++
@@ -109,12 +123,11 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
 
       // ---- 4. manifest pruning: touched vs retained files. ----
       val snap = lake.currentSnapshot
-      val changedRepos = reduced.select(col("repo")).distinct()
-        .as[String].collect().toSet // metadata-scale: distinct repos per micro-batch
       val (touched, retained) = snap.map(lake.pruneFiles(_, changedRepos))
         .getOrElse((Nil, Nil))
 
-      // ---- 5. MERGE as union + LWW hash-agg (no join, one shuffle). ----
+      // ---- 5. MERGE: union + one LWW hash-agg (no join, ONE shuffle;
+      // subsumes in-batch dedup). ----
       def conform(df: DataFrame, isChange: Boolean): DataFrame = {
         val cols = evolved.fields.map { f =>
           if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -130,8 +143,8 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
             StructField(f.name, f.dataType, nullable = true))))
           .parquet(touched.map(f => java.nio.file.Paths.get(lake.root, f.path).toString): _*))
       val unioned = base.map(b => conform(b, isChange = false)
-        .unionByName(conform(reduced, isChange = true)))
-        .getOrElse(conform(reduced, isChange = true))
+        .unionByName(conform(fenced, isChange = true)))
+        .getOrElse(conform(fenced, isChange = true))
       val valueNames = evolved.fieldNames.filterNot(keyCols.contains)
       val merged = unioned.groupBy(keyCols.map(col): _*)
         .agg(max_by(struct((valueNames :+ "_op").map(col) :+ col("_isChange"): _*),
@@ -141,14 +154,12 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
 
       // ---- 6. write new files + atomic commit with lineage. ----
       val newFiles = lake.writeDataFiles(merged, f"b$batchId%s-v")
-      val upserts = reduced.filter(col("op") =!= Op.Delete).count()
-      val deletes = reduced.filter(col("op") === Op.Delete).count()
       val rowsBefore = snap.map(_.files.map(_.rows).sum).getOrElse(0L)
       val rowsAfter = (retained ++ newFiles).map(_.rows).sum
       lake.commit(batchId, newOffsets, evolved, retained, newFiles, Map(
         "parsed" -> parsedCount, "quarantined" -> quarantinedCount,
         "upserts" -> upserts, "deletes" -> deletes,
         "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter))
-    } finally reduced.unpersist()
+    } finally fenced.unpersist()
   }
 }

@@ -46,8 +46,15 @@ object EngineE2E {
     applier.applyBatch(changes.filter(col("seq") <= cut1), "e2e-0")
     applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "e2e-1")
     applier.applyBatch(changes.filter(col("seq") > cut2), "e2e-2")
-    lake.read().select(col("repo"), col("path"), col("commit"), col("lang"),
+    // materialize eagerly so the temp lake can be deleted immediately
+    val out = lake.read().select(col("repo"), col("path"), col("commit"), col("lang"),
       sha2(col("content"), 256).as("content_sha"), col("seq"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(lakeDir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    out
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,12 +67,15 @@ object TrainingData {
   }
 
   /** q17 — MinHash+LSH near-dup candidates (rows-only check; signature on
-    * a 200-char prefix bounds cost, verify on full shingles). */
+    * a 200-char prefix bounds cost, verify on full shingles). Two bands
+    * of eight rows: the corpus has a tiny vocabulary, so loose banding
+    * (4x4) floods the candidate join — stricter bands keep candidate
+    * volume ∝ true near-dups. */
   def q17MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
-    Dedup.minhashLsh(d, "doc_id", "text", k = 5, numHashes = 16, bands = 4,
-      threshold = 0.0)
+    Dedup.minhashLsh(d, "doc_id", "text", k = 5, numHashes = 16, bands = 2,
+      threshold = 0.5)
   }
 
   /** q18 — SimHash signatures + pigeonhole near-dup pairs (rows-only). */

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.apply.CdcApplier
+import graft.lake.LakeTable
+
+/** Continuous change-event applier: Structured Streaming tail of the
+  * binlog directory → micro-batch MERGE into the lake (the streaming
+  * realization of SURVEY.md §2.10).
+  *
+  * The reference polls an S3 listing per workflow run and fences via a
+  * run-properties ledger (`update_workflow_properties.py:68-101`); here
+  * the file source does the tailing (`maxFilesPerTrigger` ≙ the 500-file
+  * batch cap O2) and exactly-once comes from the ENGINE's own fences,
+  * not the sink: `foreachBatch` is at-least-once under crash/retry, but
+  * a replayed micro-batch hits (a) the offsets fence (events ≤ committed
+  * high-watermark are dropped) and (b) the `(batchId, offsets)`
+  * idempotent-commit fence — so re-delivery is a metadata no-op. The
+  * checkpointLocation only makes the SOURCE resume where it left off.
+  */
+object CdcStream {
+
+  /** Wire schema of the canonical change-event stream (explicit — the
+    * streaming source never runs inference). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("part", StringType),
+    StructField("repo", StringType),
+    StructField("path", StringType),
+    StructField("commit", StringType),
+    StructField("lang", StringType),
+    StructField("content", StringType),
+    StructField("seq", LongType)))
+
+  /** Start tailing `inputDir` (parquet change-event files) into `lake`.
+    * `Trigger.AvailableNow` drains everything present then stops —
+    * the batch-incremental cadence of the reference; a ProcessingTime
+    * trigger makes it a long-running tail. */
+  def start(spark: SparkSession, inputDir: String, lake: LakeTable,
+      checkpointDir: String, maxFilesPerTrigger: Int = 500,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val applier = new CdcApplier(lake, spark)
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .queryName("graft-cdc-apply")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applier.applyBatch(batch, s"stream-$id"): Unit
+      }
+      .start()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apply.CdcApplier
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+
+/** Small-file compaction: table state invariant, file count shrinks,
+  * history (pre-compaction snapshots) still readable. */
+class CompactionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compact merges small files without changing table state") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakecompact"), spark)
+    val applier = new CdcApplier(lake, spark)
+    // four batches over DISJOINT repo groups (own offsets namespace per
+    // group) → four+ separate data files accumulate, none rewritten
+    val ev = ChangeLogGen.events(spark, 2000, 13L)
+      .filter(lower($"source") === "app.change.log")
+      // contiguous repo ranges per group so manifest pruning retains
+      // other groups' files (hash-grouping would interleave key ranges)
+      .withColumn("grp", (substring($"repo", 6, 4).cast("int") / 25).cast("long"))
+      .withColumn("part", concat($"grp", lit("-"), $"part"))
+      .select($"grp", $"op", $"part", $"repo", $"path", $"commit", $"lang",
+        $"content", $"seq")
+    (0 until 4).foreach { b =>
+      applier.applyBatch(ev.filter($"grp" === b).drop("grp"), s"c-$b")
+    }
+    assert(lake.currentSnapshot.get.files.size >= 2)
+    val before = lake.read().select($"repo", $"path", $"commit", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    val filesBefore = lake.currentSnapshot.get.files.size
+    val vPre = lake.currentVersion.get
+
+    val committed = lake.compact(minRows = Long.MaxValue) // everything is "small"
+    assert(committed.nonEmpty)
+    val after = lake.read().select($"repo", $"path", $"commit", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    assert(lake.currentSnapshot.get.files.size < filesBefore)
+    // pre-compaction snapshot still time-travel readable:
+    assert(lake.read(Some(vPre)).count() == before.size)
+    // offsets unchanged — compaction never moves the resume point:
+    assert(lake.committedOffsets == lake.snapshot(vPre).offsets)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations the queries rely on must
+  * actually appear in the physical plan — filters/projections reach the
+  * parquet scan, small dims broadcast, no cartesian products sneak in.
+  * (The .explain discipline, executable.) */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown + column pruning reach the scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"expected pushed filters in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "projection should prune unused columns from the scan")
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    val p = plan("q03_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("q04: multi-join uses broadcasts for dims, no nested-loop/cartesian") {
+    val p = plan("q04_multijoin_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q05: LWW aggregates with map-side partial combine, no window") {
+    val p = plan("q05_lww_latest")
+    // max_by over a struct buffer plans as SortAggregate (struct buffers
+    // aren't hash-aggregable) — the scale-critical property is the
+    // partial_max_by BEFORE the exchange: hot keys collapse map-side.
+    assert(p.contains("partial_max_by"), s"expected partial aggregation in:\n$p")
+    assert(p.indexOf("partial_max_by") > p.indexOf("Exchange"),
+      "partial aggregate must sit below the exchange (plans print top-down)")
+    assert(!p.contains("Window"), "max_by LWW must not plan a window")
+  }
+
+  test("q17: LSH candidate join is an equi-join, never a cartesian") {
+    val p = plan("q17_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH must bucket-join, got:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline (q10)") {
+    val p = plan("q10_scalar_functions")
+    // codegen stages render as "*(n)" in executedPlan.toString
+    assert(p.contains("*(1)"), s"expected codegen spans in:\n$p")
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.repair.Repair
+import graft.validate.Validate
+
+/** Golden-row parity for the repair layer (mirrors the reference's
+  * `test_flat_jsons.py` cases: the -1 score sentinel, int→string
+  * paragraph drift with DELETE skip, "null"-string union tags, rename
+  * canonicalization) and the validation matrix (mirrors
+  * `test_data_profiling.py`'s pass/fail cases, extended). */
+class RepairValidateSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val payloadT = graft.core.Model.changeEventSchema("payload").dataType
+    .asInstanceOf[StructType]
+
+  private def eventDf(op: String, payload: Row) = {
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("payload", payloadT)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(op, payload)), schema)
+  }
+
+  private def payload(scores: Seq[Row] = null, paragraph: String = null,
+      tags: String = null, stars: java.lang.Long = null,
+      descr: String = null, description: String = null): Row =
+    Row(scores, paragraph, tags, stars, descr, description)
+
+  test("R1: -1 score sentinel → null, ints recast to double, absent array → null") {
+    val in = eventDf("UPDATE", payload(scores = Seq(
+      Row("s1", -1.0), Row("s2", 3.0))))
+    val out = Repair.all(in).select($"payload.scores").head()
+    val scores = out.getSeq[Row](0)
+    assert(scores(0).isNullAt(1)) // -1 sentinel nulled
+    assert(scores(1).getDouble(1) == 3.0)
+    val absent = Repair.all(eventDf("UPDATE", payload()))
+      .select($"payload.scores").head()
+    assert(absent.isNullAt(0))
+  }
+
+  test("R2: float-ish paragraph tail trimmed, except on DELETE") {
+    val upd = Repair.all(eventDf("UPDATE", payload(paragraph = "42.0")))
+      .select($"payload.paragraph").head().getString(0)
+    assert(upd == "42")
+    val del = Repair.all(eventDf("DELETE", payload(paragraph = "42.0")))
+      .select($"payload.paragraph").head().getString(0)
+    assert(del == "42.0") // reference skips DELETE (`flat_jsons.py:77-78`)
+  }
+
+  test("R5: union tags — 'null' → [], scalar → [scalar], json list → list") {
+    def tagsOf(raw: String): Seq[String] =
+      Repair.all(eventDf("UPDATE", payload(tags = raw)))
+        .select($"payload.tags_norm").head().getSeq[String](0)
+    assert(tagsOf("null") == Seq())
+    assert(tagsOf("solo") == Seq("solo"))
+    assert(tagsOf("""["a","b"]""") == Seq("a", "b"))
+    assert(tagsOf(null) == Seq())
+  }
+
+  test("rename evolution: v1 descr canonicalized into v2 description") {
+    val v1 = Repair.all(eventDf("UPDATE", payload(descr = "old-style")))
+      .select($"payload.description").head().getString(0)
+    assert(v1 == "old-style")
+    val v2 = Repair.all(eventDf("UPDATE",
+      payload(descr = "old", description = "new")))
+      .select($"payload.description").head().getString(0)
+    assert(v2 == "new") // explicit v2 field wins
+  }
+
+  test("R6/J1: broadcast lookup enrichment — first match wins, miss keeps null") {
+    val events = Seq(("e1", "MYLIB/42"), ("e2", "MYLIB/404")).toDF("id", "media_key")
+    val dim = Seq(("MYLIB/42", "s3://bucket/a/42.png"), ("MYLIB/42", "s3://bucket/z/42.png"))
+      .toDF("lookup_key", "uri")
+    val out = Repair.enrichUri(events, dim, col("media_key"))
+      .select($"id", $"uri").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("e1") == "s3://bucket/a/42.png") // deterministic min = first match
+    assert(out("e2") == null) // miss keeps original (null uri)
+  }
+
+  test("validation matrix: each rule fires alone; clean event passes") {
+    val base = Map(
+      "_corrupt" -> null, "event_id" -> "e", "op" -> "INSERT",
+      "seq" -> 5L, "repo" -> "r", "path" -> "p", "commit" -> "c",
+      "content" -> "x", "source" -> "app.change.log", "part" -> "0")
+    def dfOf(over: (String, Any)*): org.apache.spark.sql.DataFrame = {
+      val m = base ++ over
+      val schema = StructType(Seq(
+        StructField("_corrupt", StringType), StructField("event_id", StringType),
+        StructField("op", StringType), StructField("seq", LongType),
+        StructField("repo", StringType), StructField("path", StringType),
+        StructField("commit", StringType), StructField("content", StringType),
+        StructField("source", StringType), StructField("part", StringType)))
+      spark.createDataFrame(java.util.Arrays.asList(Row(
+        m("_corrupt"), m("event_id"), m("op"), m("seq"), m("repo"), m("path"),
+        m("commit"), m("content"), m("source"), m("part"))), schema)
+    }
+    def errorsOf(over: (String, Any)*): Set[String] =
+      Validate.annotate(dfOf(over: _*)).select($"errors")
+        .head().getSeq[String](0).toSet
+
+    assert(errorsOf() == Set())
+    assert(errorsOf("op" -> "UPSERT") == Set("op_not_in_enum"))
+    assert(errorsOf("seq" -> null) == Set("missing_seq"))
+    assert(errorsOf("repo" -> "") == Set("missing_repo"))
+    assert(errorsOf("commit" -> null) == Set("unresolvable_commit"))
+    assert(errorsOf("content" -> null) == Set("missing_content"))
+    // DELETE without content is legal (tombstones carry no payload):
+    assert(errorsOf("op" -> "DELETE", "content" -> null) == Set())
+    assert(errorsOf("source" -> "other.system") == Set("wrong_source"))
+    assert(errorsOf("_corrupt" -> "rawjunk") == Set("corrupt_json"))
+    // multiple failures accumulate:
+    assert(errorsOf("op" -> null, "repo" -> null) ==
+      Set("missing_op", "missing_repo"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+import graft.streaming.CdcStream
+
+/** Streaming tail: the file-source drain applies the same final state as
+  * the batch path, and an appended second wave is picked up incrementally
+  * from the checkpoint. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canonical(n: Long, lo: Long, hi: Long) =
+    ChangeLogGen.events(spark, n, seed = 11L)
+      .filter(col("seq") >= lo && col("seq") < hi)
+      .filter(lower(col("source")) === "app.change.log")
+      .select("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+
+  test("streamed drain ≡ batch apply; appended files picked up incrementally") {
+    val n = 3000L
+    val inDir = TestSpark.tmpDir("stream-in")
+    val ckDir = TestSpark.tmpDir("stream-ck")
+    val lakeDir = TestSpark.tmpDir("stream-lake")
+    val lake = new LakeTable(lakeDir, spark)
+
+    // wave 1
+    canonical(n, 0, n / 2).write.mode("append").parquet(inDir)
+    val q1 = CdcStream.start(spark, inDir, lake, ckDir)
+    q1.awaitTermination(120000)
+    val afterWave1 = lake.read().count()
+    assert(afterWave1 > 0)
+
+    // wave 2 appended; new stream instance resumes from checkpoint
+    canonical(n, n / 2, n).write.mode("append").parquet(inDir)
+    val q2 = CdcStream.start(spark, inDir, lake, ckDir)
+    q2.awaitTermination(120000)
+
+    // oracle: sequential LWW over the full log
+    val oracle = canonical(n, 0, n)
+      .groupBy($"repo", $"path")
+      .agg(max_by(struct($"op", $"commit", $"content", $"seq"), struct($"seq", $"commit")).as("r"))
+      .filter($"r.op" =!= "DELETE")
+      .select($"repo", $"path", $"r.commit".as("commit"), sha2($"r.content", 256).as("sha"))
+      .collect().map(_.toSeq).toSet
+    val got = lake.read()
+      .select($"repo", $"path", $"commit", sha2($"content", 256).as("sha"))
+      .collect().map(_.toSeq).toSet
+    assert(got == oracle)
+  }
+}
