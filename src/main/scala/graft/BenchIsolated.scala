@@ -46,6 +46,16 @@ object ScalingRunner {
     val b = batchesStr.toInt
     def once(): Double = mode match {
       case "wire" => Bench.replayWire(spark, path, n, b)
+      case "decode" => // codec+validate only: the merge-free ceiling
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val blobs = spark.read.parquet(path).select(col("blob")).as[String]
+        val parsed = graft.codec.ConcatJson.parse(
+          graft.codec.ConcatJson.explodeDocs(blobs), spark)
+        val (clean, _) = graft.validate.Validate.route(parsed)
+        clean.count()
+        (System.nanoTime() - t0) / 1e9
       case _ => Bench.replay(spark, path, n, b)
     }
     once() // warmup

@@ -187,7 +187,37 @@ object Relational {
         cents($"value").as("v_cents"))
   }
 
+  /** q23 — log-line parse (S11 + F6/F7, `process_logs.py:102-167`):
+    * synthesize the PROFILER-style log line deterministically, then
+    * recover the structured fields with split/substring/to_timestamp —
+    * the reference's observability parser as one codegen'd projection. */
+  def q23LogParse(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val lines = t(dir, "events").select(
+      $"event_id",
+      concat_ws(" | ",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss"),
+        lit("__main__ - INFO - PROFILER"),
+        concat(lit("svc:"), $"event_type"),
+        concat(lit("user:"), $"user_id"),
+        concat(lit("Errors:"), when($"value" < 1, lit("low_value")).otherwise(lit("none"))))
+        .as("line"))
+    lines.select(
+      $"event_id",
+      to_timestamp(org.apache.spark.sql.functions.split($"line", " \\| ")(0),
+        "yyyy-MM-dd HH:mm:ss").as("log_ts"),
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.split($"line", " \\| ")(2), ":")(1).as("svc"),
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.split($"line", " \\| ")(3), ":")(1)
+        .cast("long").as("log_user"),
+      regexp_replace(org.apache.spark.sql.functions.split($"line", " \\| ")(4),
+        "^Errors:", "").as("errors"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_log_parse" -> q23LogParse _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_broadcast_join" -> q03BroadcastJoin _,
@@ -201,6 +231,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_log_parse" ->
+      """SELECT event_id,
+        | CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS log_ts,
+        | event_type AS svc,
+        | user_id AS log_user,
+        | CASE WHEN value < 1 THEN 'low_value' ELSE 'none' END AS errors
+        |FROM events""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S9/P7 parity: the reference's hive-partitioned parquet layout
+  * (`convert_to_parquet.py:206-238`) — derive year/month/day/hour
+  * partition columns and write `partitionBy`, then verify layout and
+  * lossless read-back with partition pruning. */
+class PartitionedSinkSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned write produces hive layout; pruned read matches") {
+    val out = TestSpark.tmpDir("psink")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("year", year($"ts"))
+      .withColumn("month", month($"ts"))
+      .withColumn("day", dayofmonth($"ts"))
+      .withColumn("hour", hour($"ts"))
+    ev.write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour").parquet(out)
+
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator()
+    val top = new scala.collection.mutable.ArrayBuffer[String]
+    while (dirs.hasNext) top += dirs.next().getFileName.toString
+    assert(top.exists(_.startsWith("year=")), s"expected hive dirs, got $top")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    // partition pruning: a day-filtered read only lists that day's dirs
+    val oneDay = back.filter($"year" === 2024 && $"month" === 1 && $"day" === 2)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(oneDay.count() ==
+      ev.filter(to_date($"ts") === "2024-01-02").count())
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+  }
+}
