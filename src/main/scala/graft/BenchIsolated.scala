@@ -42,6 +42,19 @@ object ScalingRunner {
   def main(args: Array[String]): Unit = {
     val Array(mode, path, nStr, batchesStr, cpusStr) = args
     val spark = Bench.session(cpusStr.toInt)
+    // optional stage profile (GRAFT_STAGE_PROFILE=1): wall vs cpu per stage
+    val profile = sys.env.get("GRAFT_STAGE_PROFILE").contains("1")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]()
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+          stages.add((i.name.takeWhile(_ != '\n').take(60), i.numTasks,
+            wall, i.taskMetrics.executorRunTime))
+        }
+      })
     val n = nStr.toLong
     val b = batchesStr.toInt
     def once(): Double = mode match {
@@ -59,8 +72,15 @@ object ScalingRunner {
       case _ => Bench.replay(spark, path, n, b)
     }
     once() // warmup
+    stages.clear()
     val sec = once()
     println(f"GRAFT_SECONDS=$sec%.3f")
+    if (profile) {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._3).take(20).foreach { case (n, t, w, c) =>
+        println(f"GRAFT_STAGE wall=${w}%6dms cpu=${c}%7dms tasks=$t%3d  $n")
+      }
+    }
     spark.stop()
     sys.exit(0)
   }

@@ -11,13 +11,24 @@ import graft.validate.Validate
 
 /** End-to-end micro-batch pipeline: the one-Spark-application collapse of
   * the reference's five-job Glue workflow (SURVEY.md §3.1) —
-  * split → parse → validate/quarantine → repair → LWW MERGE → commit,
+  * decode → validate/quarantine → repair → LWW MERGE → commit,
   * all one lazily-planned DAG per batch.
+  *
+  * Decode uses the fused typed codec ([[ConcatJson.decodeTyped]]): one
+  * Jackson factory per partition, char[]-backed parsers, payload kept as
+  * raw JSON unless a batch promotes payload columns. Profiling showed
+  * per-row parser construction inside `from_json` (plus ICU `lower`)
+  * dominating wire-replay CPU; the typed path removes both.
   */
 object CdcPipeline {
 
   /** Canonical value columns entering the lake (input_hint shape + seq). */
   private val canonical = Seq("repo", "path", "commit", "lang", "content", "seq")
+
+  /** Case-insensitive source check with a cheap exact-match fast path —
+    * `lower()` routes through ICU per row in Spark 4 and is expensive. */
+  private[graft] def sourceOk(c: org.apache.spark.sql.Column) =
+    (c === "app.change.log") || (lower(c) === "app.change.log")
 
   /** Process one batch of raw concatenated-JSON blobs into the lake.
     * `promote` names payload fields to lift into lake columns (schema
@@ -29,13 +40,29 @@ object CdcPipeline {
     // size `spark.sql.files.maxPartitionBytes` so the scan yields at
     // least one split per core (a shuffle here would double-handle the
     // raw bytes; tuning the scan split size is free).
-    val docs = ConcatJson.explodeDocs(blobs)
-    val parsed = ConcatJson.parse(docs, spark)
-    val (clean, dirty) = Validate.route(parsed)
-    val repaired = Repair.all(clean)
-    val cols = Seq("op", "part").map(col) ++ canonical.map(col) ++
-      promote.map(f => col(s"payload.$f").as(f))
-    val events = repaired.select(cols: _*)
+    val decoded = ConcatJson.decodeTyped(blobs).toDF()
+      .withColumn("_corrupt", when(col("corrupt"), col("raw")))
+      // schema-variant resolution (P5): v2 explicit wins, v1 composite
+      // "<commit>#<lang>" is the fallback (`data_profiling.py:73-86`)
+      .withColumn("commit", coalesce(col("commit"),
+        when(col("commit_lang").contains("#"),
+          substring_index(col("commit_lang"), "#", 1))))
+      .withColumn("lang", coalesce(col("lang"),
+        when(col("commit_lang").contains("#"),
+          element_at(split(col("commit_lang"), "#"), -1))))
+    val (clean, dirty) = Validate.route(decoded)
+    val events =
+      if (promote.isEmpty)
+        clean.select((Seq("op", "part") ++ canonical).map(col): _*)
+      else {
+        // payload only gets parsed when evolution actually needs it
+        val withPayload = clean.withColumn("payload", from_json(
+          col("payload_json"),
+          graft.core.Model.changeEventSchema("payload").dataType))
+        val repaired = Repair.all(withPayload)
+        repaired.select(Seq("op", "part").map(col) ++ canonical.map(col) ++
+          promote.map(f => col(s"payload.$f").as(f)): _*)
+      }
     val applier = new CdcApplier(lake, spark)
     val version = applier.applyBatch(events, batchId)
     (version, dirty)
@@ -44,7 +71,7 @@ object CdcPipeline {
   /** Process a batch already in canonical parquet shape (no codec stage). */
   def processEvents(spark: SparkSession, events: DataFrame, lake: LakeTable,
       batchId: String): Long = {
-    val cleanOnly = events.filter(lower(col("source")) === "app.change.log")
+    val cleanOnly = events.filter(sourceOk(col("source")))
     val applier = new CdcApplier(lake, spark)
     applier.applyBatch(
       cleanOnly.select((Seq("op", "part") ++ canonical).map(col): _*), batchId)

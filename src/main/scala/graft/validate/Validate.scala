@@ -44,8 +44,11 @@ object Validate {
       col("op").isNull || col("op") === Op.Delete || col("content").isNotNull),
     // wrong-source discard (P1, `data_profiling.py:154-157`) is modeled
     // as a rule so discards are observable in the quarantine table:
+    // exact-match fast path first: ICU-backed lower() is per-row
+    // expensive in Spark 4, and virtually every row matches exactly
     Rule("wrong_source",
-      col("source").isNull || lower(col("source")) === "app.change.log"))
+      col("source").isNull || col("source") === "app.change.log" ||
+        lower(col("source")) === "app.change.log"))
 
   /** Compile rules to a single `array<string>` errors column. */
   def errorsColumn(rules: Seq[Rule]): Column =
