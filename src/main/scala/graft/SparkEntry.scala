@@ -10,9 +10,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The engine itself: events-as-changelog replayed through fence →
+    * LWW MERGE → snapshot commits → final-state read. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    graft.queries.EngineE2E.q22CdcReplay(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -59,9 +59,12 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
       TextAnalysis.shingles(col(textCol), k).as("sh"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
+    // both self-join branches consume this — materialize once, or the
+    // (expensive) signature projection is computed twice
     val banded = base.select(col("id"), col("sh"),
       explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(true)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "bucket"))
