@@ -189,6 +189,52 @@ object TrainingData {
         | CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
         |   / CAST(length(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q17_minhash_lsh" ->
+      """WITH d AS (
+        | SELECT doc_id AS id,
+        |   list_distinct([substr(substr(text,1,200), i, 5)
+        |     for i in range(1, greatest(length(substr(text,1,200))-4, 1)+1)]) AS sh
+        | FROM documents
+        |), sig AS (
+        | SELECT id, sh,
+        |   [list_aggregate(list_transform(sh, s -> md5(concat(CAST(h AS VARCHAR), ':', s))), 'min')
+        |    for h in range(0, 16)] AS sg
+        | FROM d
+        |), banded AS (
+        | SELECT id, sh, b AS band, md5(array_to_string(sg[b*8+1:b*8+8], '|')) AS bucket
+        | FROM sig, range(0, 2) AS r(b)
+        |), pairs AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        |)
+        |SELECT id_a, id_b,
+        | CAST(length(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        |   / CAST(length(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(length(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        |   / CAST(length(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5""".stripMargin,
+    "q18_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        | FROM documents
+        |), nibv AS (
+        | SELECT doc_id, j, strpos('0123456789abcdef', substr(md5(t), j+1, 1)) - 1 AS v
+        | FROM toks, range(0, 16) AS r(j)
+        |), votes AS (
+        | SELECT doc_id, j,
+        |   sum(CASE WHEN (v & 8) = 8 THEN 1 ELSE -1 END) AS b3,
+        |   sum(CASE WHEN (v & 4) = 4 THEN 1 ELSE -1 END) AS b2,
+        |   sum(CASE WHEN (v & 2) = 2 THEN 1 ELSE -1 END) AS b1,
+        |   sum(CASE WHEN (v & 1) = 1 THEN 1 ELSE -1 END) AS b0
+        | FROM nibv GROUP BY doc_id, j
+        |), nibs AS (
+        | SELECT doc_id, j,
+        |   substr('0123456789abcdef',
+        |     1 + 8*(CASE WHEN b3>0 THEN 1 ELSE 0 END) + 4*(CASE WHEN b2>0 THEN 1 ELSE 0 END)
+        |       + 2*(CASE WHEN b1>0 THEN 1 ELSE 0 END) + (CASE WHEN b0>0 THEN 1 ELSE 0 END), 1) AS nib
+        | FROM votes)
+        |SELECT doc_id, string_agg(nib, '' ORDER BY j) AS simhash
+        |FROM nibs GROUP BY doc_id""".stripMargin,
     "q19_ann_quantized" ->
       """WITH q AS (SELECT vec_id AS qid,
         |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qq
