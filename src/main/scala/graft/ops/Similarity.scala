@@ -88,6 +88,42 @@ object Similarity {
     aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
   }
 
+  /** Integer-exact sign-random-projection bucket: same hyperplanes as
+    * [[lshBucket]] but over the quantized vector, so the projection is an
+    * exact integer sum — bit-identical in any engine (oracle-gated). */
+  def lshBucketQ(qvec: Column, nPlanes: Int = 8): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(qvec, sequence(lit(0), size(qvec) - 1),
+          (x, i) => x * when(conv(substring(md5(concat(p.cast("string"), lit("/"),
+            i.cast("string"))), 1, 1), 16, 10).cast("int") >= 8, lit(1L))
+            .otherwise(lit(-1L))),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
+  }
+
+  /** LSH-bucketed ANN top-k with exact-integer ranking (the oracle-gated
+    * variant): bucket on quantized projections, rank by quantized dot
+    * product within the query's bucket. */
+  def lshTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucketQ(col("qv"), nPlanes))
+    val q = queries.select(col("qid"), quantize(col("qvec")).as("qq"))
+      .withColumn("bucket", lshBucketQ(col("qq"), nPlanes))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("qdot", qdot(col("qv"), col("qq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("qdot"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket
     * (equi-join on bucket id), then exact cosine rank within candidates.
     * The scale path: shuffle keys are bucket ids, never a cross join. */

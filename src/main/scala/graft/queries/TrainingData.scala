@@ -92,14 +92,14 @@ object TrainingData {
     Similarity.quantizedDotTopK(e, "vec_id", "embedding", q, 5)
   }
 
-  /** q20 — ANN scale path: sign-random-projection LSH buckets, cosine
-    * rank within bucket (rows-only; approximate by construction). */
+  /** q20 — ANN scale path: sign-random-projection LSH buckets with
+    * exact-integer projections and ranking (oracle-gated; approximate
+    * recall by construction — candidates come from the query's bucket). */
   def q20AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Similarity.lshTopK(e, "vec_id", "embedding", q, 5, nPlanes = 8)
-      .select(col("qid"), col("neighbor_id"), col("rank"))
+    Similarity.lshTopKQuantized(e, "vec_id", "embedding", q, 5, nPlanes = 8)
   }
 
   /** q21 — multimodal plumbing: opaque binary payload + typed metadata →
@@ -249,6 +249,27 @@ object TrainingData {
         | FROM (SELECT qid, neighbor_id,
         |         list_sum([qv[i]*qq[i] for i in range(1, len(qv)+1)]) AS qdot
         |       FROM c JOIN q ON neighbor_id <> qid))
+        |WHERE rank <= 5""".stripMargin,
+    "q20_ann_lsh" ->
+      """WITH qv AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        | FROM embeddings
+        |), bkt AS (
+        | SELECT vec_id, v,
+        |   list_sum([ (CASE WHEN list_sum([ v[i+1] *
+        |       (CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(concat(CAST(p AS VARCHAR), '/', CAST(i AS VARCHAR))), 1, 1)) - 1 >= 8
+        |         THEN 1 ELSE -1 END)
+        |     for i in range(0, len(v))]) >= 0 THEN 1 ELSE 0 END) * (2**(7-p))
+        |   for p in range(0, 8)]) AS bucket
+        | FROM qv
+        |), q AS (SELECT vec_id AS qid, v AS qq, bucket FROM bkt WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, v AS qv2, bucket FROM bkt)
+        |SELECT qid, neighbor_id, rank, qdot FROM (
+        | SELECT qid, neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rank, qdot
+        | FROM (SELECT qid, neighbor_id, list_sum([qv2[i]*qq[i] for i in range(1, len(qv2)+1)]) AS qdot
+        |       FROM c JOIN q USING (bucket) WHERE neighbor_id <> qid))
         |WHERE rank <= 5""".stripMargin,
     "q21_media_features" ->
       """SELECT doc_id AS media_id,
