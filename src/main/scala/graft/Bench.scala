@@ -99,6 +99,10 @@ object Bench {
     // ---- 1. operator queries at local[cpus] ----
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     var spark = session(cpus)
+    // absorb session/codegen/scan warmup so it doesn't land on the
+    // alphabetically-first query's timing
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    scala.util.Try(spark.read.parquet(s"$sfDir/lineitem.parquet").count())
     val results =
       if (!runQueries) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
