@@ -103,12 +103,22 @@ object Bench {
     // alphabetically-first query's timing
     spark.range(1000000).selectExpr("sum(id)").collect()
     scala.util.Try(spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    // noop write (not count): count() lets Catalyst prune deterministic
+    // projections, timing just the scan; noop forces full expression
+    // evaluation of every output column. Failures are recorded, never
+    // swallowed as fast timings.
     val results =
-      if (!runQueries) Seq.empty[(String, Double)]
+      if (!runQueries) Seq.empty[(String, Double, Option[String])]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
 
     // ---- 2. pre-materialize the synthetic binlog once (not timed):
@@ -174,10 +184,22 @@ object Bench {
     } else ""
     if (keepDir.isEmpty) deleteRec(evPath)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","query_errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_replay":{"events":$nEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.1f},"cdc_replay_wire":{"events":$nEvents,"sec":$wireSec%.3f,"events_per_sec":$wireEps%.1f}$scalingJson}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","cpus":$cpus,"cdc_replay":{"events":$nEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.1f},"cdc_replay_wire":{"events":$nEvents,"sec":$wireSec%.3f,"events_per_sec":$wireEps%.1f}$scalingJson}"""
+    // belt-and-braces for the driver's tail-parse: the bare JSON line on
+    // stdout (build.sbt forks with StdoutOutput so no [info] prefix) AND
+    // a known file.
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      (json + "\n").getBytes("UTF-8"))
+    ()
   }
 }

@@ -95,13 +95,13 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
     // cached because four independent jobs consume it below.
     val fenced = fencedRaw.cache()
     try {
-      // ---- 2. ONE stats job: per-part offsets + lineage counts +
-      // touched-repo set (all metadata-scale). ----
+      // ---- 2. ONE stats job: per-part offsets + lineage counts (all
+      // metadata-scale — one row per source partition; the batch's repo
+      // set stays distributed, see step 4). ----
       val offRows = fenced.groupBy(col("part")).agg(
         max(col("seq")).as("s"),
         sum(when(col("op") === Op.Delete, 1L).otherwise(0L)).as("d"),
-        sum(when(col("op") =!= Op.Delete, 1L).otherwise(0L)).as("u"),
-        collect_set(col("repo")).as("repos")).collect()
+        sum(when(col("op") =!= Op.Delete, 1L).otherwise(0L)).as("u")).collect()
       if (offRows.isEmpty) { // nothing new: idempotent no-op path
         return lake.currentSnapshot.map(_.version).getOrElse(
           lake.commit(batchId, committed, graft.core.Model.lakeSchemaV1, Nil, Nil))
@@ -110,8 +110,6 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
         .map { case (p, s) => p -> math.max(s, committed.getOrElse(p, Long.MinValue)) }
       val deletes = offRows.map(_.getLong(2)).sum
       val upserts = offRows.map(_.getLong(3)).sum
-      val changedRepos = offRows.iterator
-        .flatMap(_.getSeq[String](4)).toSet
 
       // ---- 3. schema evolution: promote new value columns. ----
       val curSchema = lake.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
@@ -121,9 +119,13 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
         curSchema.fields.filterNot(f => metaCols.contains(f.name)) ++
           eventValueFields.filterNot(f => curSchema.fieldNames.contains(f.name)))
 
-      // ---- 4. manifest pruning: touched vs retained files. ----
+      // ---- 4. manifest pruning: touched vs retained files. The repo set
+      // is matched against the broadcast interval index on executors —
+      // only touched file indices come back to the driver (a driver-side
+      // collect_set(repo) would OOM at millions of repos/batch). ----
       val snap = lake.currentSnapshot
-      val (touched, retained) = snap.map(lake.pruneFiles(_, changedRepos))
+      val (touched, retained) = snap.map(
+          lake.pruneFilesDistributed(_, fenced.select(col("repo"))))
         .getOrElse((Nil, Nil))
 
       // ---- 5. MERGE: union + one LWW hash-agg (no join, ONE shuffle;

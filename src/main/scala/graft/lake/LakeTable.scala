@@ -29,15 +29,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `{sourcePartition -> lastAppliedSeq}`, the cumulative applied-batch
   * fence map, and lineage counters.
   *
-  * Exactly-once: `Files.move(..., ATOMIC_MOVE)` without REPLACE fails if
-  * `v<N>.json` already exists — the optimistic-concurrency fence. Current
-  * version = max N present (a crash after data-file write but before
-  * manifest move leaves only unreferenced orphan files — invisible, GC-able).
+  * Exactly-once: the manifest is created with `Files.createLink` (hard
+  * link from a tmp file), which atomically fails EEXIST if `v<N>.json`
+  * already exists — the optimistic-concurrency fence. (A plain
+  * `Files.move(..., ATOMIC_MOVE)` maps to rename(2) on Linux, which
+  * silently REPLACES the target — two racing committers would both
+  * "succeed" and one snapshot would be clobbered.) A lost race raises
+  * [[java.util.ConcurrentModificationException]]; writers are
+  * single-writer-per-table by contract, the fence turns violations into
+  * hard errors instead of corruption. Manifest bytes and the meta dir are
+  * fsynced before the link lands (crash durability). Current version =
+  * max N present (a crash after data-file write but before the manifest
+  * link leaves only unreferenced orphan files — invisible, GC-able).
   * Re-committing a `(batchId, offsets)` already in the fence map is a
   * no-op (idempotent replay; ≙ the reference's run-properties ledger,
-  * `update_workflow_properties.py:34-65`, made transactional).
+  * `update_workflow_properties.py:34-65`, made transactional). The fence
+  * map is bounded to the most recent `appliedWindow` batches — older
+  * replays are still no-ops because every event's `seq` falls at-or-below
+  * the committed per-partition offsets watermark (the primary fence);
+  * without the bound each commit would rewrite an ever-growing map after
+  * 10^6 micro-batches.
   */
-class LakeTable(val root: String, spark: SparkSession) {
+class LakeTable(val root: String, spark: SparkSession,
+    val appliedWindow: Int = 128) {
 
   private val metaDir = Paths.get(root, "meta")
   private val dataDir = Paths.get(root, "data")
@@ -93,6 +107,64 @@ class LakeTable(val root: String, spark: SparkSession) {
     * (file list), evaluated without reading data. */
   def pruneFiles(snap: Snapshot, changedRepos: Set[String]): (Seq[FileEntry], Seq[FileEntry]) =
     snap.files.partition(f => changedRepos.exists(r => r >= f.minRepo && r <= f.maxRepo))
+
+  /** Distributed file pruning for the apply path: which files' [minRepo,
+    * maxRepo] key ranges may contain any repo present in the (distributed,
+    * single string column) `repos` DataFrame.
+    *
+    * Scale contract (10^10 events / millions of repos): the batch's repo
+    * set NEVER reaches the driver. The manifest's interval index — sorted
+    * minRepo array + prefix-max of maxRepo, O(files) strings, the same
+    * metadata the driver already holds — is broadcast; each executor
+    * binary-searches its repos against it and emits touched file INDICES.
+    * The driver collects only the distinct index set, bounded by file
+    * count. (A `mapPartitions` rather than a Column expression: "all
+    * intervals containing point r" is a backward prefix-max walk that
+    * built-ins could express only as an O(files × repos) theta-join.)
+    * Per-partition local dedup of repos avoids a shuffle entirely. */
+  def pruneFilesDistributed(snap: Snapshot, repos: DataFrame)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    if (snap.files.isEmpty) return (Nil, Nil)
+    import spark.implicits._
+    val n = snap.files.size
+    val order = snap.files.indices.sortBy(snap.files(_).minRepo).toArray
+    val sMin = order.map(snap.files(_).minRepo)
+    val sMax = order.map(snap.files(_).maxRepo)
+    val prefMax = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      prefMax(i) = if (i == 0) sMax(0)
+        else if (sMax(i) > prefMax(i - 1)) sMax(i) else prefMax(i - 1)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((sMin, sMax, prefMax, order))
+    val touched = repos.as[String].mapPartitions { it =>
+      val (mn, mx, pm, ord) = bc.value
+      val seen = new java.util.HashSet[String]()
+      val hit = new java.util.BitSet(mn.length)
+      it.foreach { r =>
+        if (seen.add(r)) {
+          var lo = 0; var hi = mn.length - 1; var pos = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (mn(mid) <= r) { pos = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          var j = pos
+          while (j >= 0 && pm(j) >= r) {
+            if (mx(j) >= r) hit.set(ord(j))
+            j -= 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var b = hit.nextSetBit(0)
+      while (b >= 0) { out += b; b = hit.nextSetBit(b + 1) }
+      out.iterator
+    }.distinct().collect().toSet
+    bc.unpersist()
+    val parts = snap.files.zipWithIndex.partition { case (_, idx) => touched(idx) }
+    (parts._1.map(_._1), parts._2.map(_._1))
+  }
 
   // ---- write ----------------------------------------------------------
 
@@ -184,7 +256,11 @@ class LakeTable(val root: String, spark: SparkSession) {
       if (p.applied.get(batchId).contains(fence)) return p.version // no-op replay
     }
     val version = prev.map(_.version + 1).getOrElse(0L)
-    val applied = prev.map(_.applied).getOrElse(Map.empty) + (batchId -> fence)
+    // sliding-window fence map: keep only the newest `appliedWindow`
+    // entries (older replays are caught by the offsets watermark)
+    val applied: Map[String, String] =
+      (prev.map(_.applied).getOrElse(scala.collection.immutable.ListMap.empty[String, String]) +
+        (batchId -> fence)).takeRight(appliedWindow)
     val mergedOffsets = prev.map(_.offsets).getOrElse(Map.empty) ++ offsets
     writeManifest(version, schema, retain ++ added, mergedOffsets, applied, lineage)
     version
@@ -233,8 +309,30 @@ class LakeTable(val root: String, spark: SparkSession) {
     m.put("lineage", lineage.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     val tmp = metaDir.resolve(s".v$version.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, mapper.writeValueAsString(m))
-    // the fence: fails with FileAlreadyExistsException on a lost race
-    Files.move(tmp, metaDir.resolve(s"v$version.json"), StandardCopyOption.ATOMIC_MOVE)
+    // durability: manifest bytes reach disk before the link makes them
+    // the current snapshot
+    val ch = java.nio.channels.FileChannel.open(tmp, java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    val target = metaDir.resolve(s"v$version.json")
+    try {
+      // the fence: hard-link creation atomically fails EEXIST if another
+      // committer already published this version (rename(2) would
+      // silently replace it)
+      Files.createLink(target, tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Try(Files.delete(tmp))
+        throw new java.util.ConcurrentModificationException(
+          s"lost commit race: $target already exists (concurrent writer — " +
+            "LakeTable is single-writer per table)")
+    }
+    Try(Files.delete(tmp))
+    // fsync the directory so the new link survives a crash (Linux)
+    Try {
+      val dch = java.nio.channels.FileChannel.open(metaDir, java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    }
+    ()
   }
 
   private def readManifest(p: Path, version: Long): Snapshot = {
@@ -248,7 +346,10 @@ class LakeTable(val root: String, spark: SparkSession) {
     }.toSeq
     val offsets = m.get("offsets").asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap
-    val applied = m.get("applied").asInstanceOf[JMap[String, String]].asScala.toMap
+    // Jackson parses objects into LinkedHashMap: insertion order survives
+    // the JSON round-trip, so the sliding-window trim stays FIFO
+    val applied = scala.collection.immutable.ListMap.from(
+      m.get("applied").asInstanceOf[JMap[String, String]].asScala)
     val lineage = Option(m.get("lineage")).map(_.asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap)
       .getOrElse(Map.empty[String, Long])

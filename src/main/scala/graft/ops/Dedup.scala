@@ -47,30 +47,44 @@ object Dedup {
   /** Full MinHash+LSH near-dup candidate pairs with exact-Jaccard verify.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     *
-    * Plan shape: project shingles+signature once → explode bands →
-    * self equi-join on (band, bucket) → dedup pairs → verify Jaccard on
-    * the (small) candidate set. The join is an equi-join on the bucket
-    * hash: sort-merge/shuffled-hash, AQE-skew-splittable — never a
-    * cartesian. */
+    * Plan shape (the 100 TB-safe one): project the signature once →
+    * explode bands → self equi-join on (band, bucket) carrying ONLY
+    * (id, band, bucket) — shingle arrays never ride the candidate join,
+    * so shuffle bytes are O(candidates × 16B), not O(candidates ×
+    * shingle-set) — → dedup (id_a, id_b) → re-join the shingle sets just
+    * for the (small) surviving candidate set → verify exact Jaccard.
+    * Every join is an equi-join: sort-merge/shuffled-hash,
+    * AQE-skew-splittable — never a cartesian.
+    *
+    * `prefixChars` caps signature+verify cost by shingling only the first
+    * N chars of the text (0 = full text) — a cost/recall knob the caller
+    * chooses explicitly, mirrored in the DuckDB oracle.
+    *
+    * The tiny (id, band, bucket) relation is persisted MEMORY_AND_DISK
+    * (recomputable on loss — unlike an eager localCheckpoint it survives
+    * executor death at scale) because both self-join branches consume it;
+    * otherwise the signature projection runs twice. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, prefixChars: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), k).as("sh"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    // both self-join branches consume this — materialize once, or the
-    // (expensive) signature projection is computed twice
-    val banded = base.select(col("id"), col("sh"),
-      explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .localCheckpoint(true)
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val txt = if (prefixChars > 0) substring(col(textCol), 1, prefixChars)
+      else col(textCol)
+    val banded = df.select(col(idCol).as("id"),
+        explode(lshBuckets(minhashSignature(txt, k, numHashes),
+          bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sh = df.select(col(idCol).as("id"), TextAnalysis.shingles(txt, k).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -100,7 +114,10 @@ object Dedup {
         (acc, v) => acc * 2 + when(v > 0, 1).otherwise(0))
       lower(conv(packed.cast("string"), 10, 16))
     })
-    concat_ws("", nibbles)
+    // NULL text → NULL signature (concat_ws would silently skip the null
+    // nibble array and emit "", diverging from any SQL oracle whose
+    // unnest of a NULL token list emits no row at all)
+    when(text.isNull, lit(null)).otherwise(concat_ws("", nibbles))
   }
 
   /** SimHash near-dup pairs by pigeonhole: two docs within Hamming

@@ -241,27 +241,27 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS base_cents,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS disc_cents,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_cents,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        | sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS disc_revenue_cents
+        | CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS disc_revenue_cents
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
         |GROUP BY l_returnflag""".stripMargin,
     "q03_broadcast_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q04_multijoin_revenue" ->
       """SELECT r_name, n_name, count(*) AS n_rows,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -284,9 +284,9 @@ object Relational {
       """SELECT user_id, event_id,
         | CAST(row_number() OVER w AS INT) AS rn,
         | CAST(round(value*100) AS BIGINT) AS v_cents,
-        | sum(CAST(round(value*100) AS BIGINT))
+        | CAST(sum(CAST(round(value*100) AS BIGINT))
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q08_anti_join" ->

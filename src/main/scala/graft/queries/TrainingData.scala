@@ -66,21 +66,24 @@ object TrainingData {
         Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
   }
 
-  /** q17 — MinHash+LSH near-dup candidates (rows-only check; signature on
-    * a 200-char prefix bounds cost, verify on full shingles). Two bands
-    * of eight rows: the corpus has a tiny vocabulary, so loose banding
-    * (4x4) floods the candidate join — stricter bands keep candidate
-    * volume ∝ true near-dups. */
-  def q17MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
-    Dedup.minhashLsh(d, "doc_id", "text", k = 5, numHashes = 16, bands = 2,
-      threshold = 0.5)
-  }
+  /** Shingle-window cost cap for q17: signature + verify shingle only the
+    * first N chars (an explicit cost/recall knob, mirrored in the DuckDB
+    * oracle's `substr(text,1,200)`). */
+  private val Q17PrefixChars = 200
 
-  /** q18 — SimHash signatures + pigeonhole near-dup pairs (rows-only). */
+  /** q17 — MinHash+LSH near-dup candidates. Two bands of eight rows: the
+    * corpus has a tiny vocabulary, so loose banding (4x4) floods the
+    * candidate join — stricter bands keep candidate volume ∝ true
+    * near-dups. */
+  def q17MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), "doc_id", "text", k = 5,
+      numHashes = 16, bands = 2, threshold = 0.5,
+      prefixChars = Q17PrefixChars)
+
+  /** q18 — SimHash signatures (NULL texts excluded on both sides: the
+    * oracle's unnest of a NULL token list emits no row). */
   def q18Simhash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
+    docs(spark, dir).filter(col("text").isNotNull).select(col("doc_id"),
       Dedup.simhashHex(col("text")).as("simhash"))
 
   /** q19 — ANN brute-force top-5 by quantized dot product (oracle-gated
@@ -216,7 +219,7 @@ object TrainingData {
     "q18_simhash" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
-        | FROM documents
+        | FROM documents WHERE text IS NOT NULL
         |), nibv AS (
         | SELECT doc_id, j, strpos('0123456789abcdef', substr(md5(t), j+1, 1)) - 1 AS v
         | FROM toks, range(0, 16) AS r(j)
@@ -247,7 +250,7 @@ object TrainingData {
         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rank,
         |   qdot
         | FROM (SELECT qid, neighbor_id,
-        |         list_sum([qv[i]*qq[i] for i in range(1, len(qv)+1)]) AS qdot
+        |         CAST(list_sum([qv[i]*qq[i] for i in range(1, len(qv)+1)]) AS BIGINT) AS qdot
         |       FROM c JOIN q ON neighbor_id <> qid))
         |WHERE rank <= 5""".stripMargin,
     "q20_ann_lsh" ->
@@ -268,14 +271,14 @@ object TrainingData {
         |SELECT qid, neighbor_id, rank, qdot FROM (
         | SELECT qid, neighbor_id,
         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rank, qdot
-        | FROM (SELECT qid, neighbor_id, list_sum([qv2[i]*qq[i] for i in range(1, len(qv2)+1)]) AS qdot
+        | FROM (SELECT qid, neighbor_id, CAST(list_sum([qv2[i]*qq[i] for i in range(1, len(qv2)+1)]) AS BIGINT) AS qdot
         |       FROM c JOIN q USING (bucket) WHERE neighbor_id <> qid))
         |WHERE rank <= 5""".stripMargin,
     "q21_media_features" ->
       """SELECT doc_id AS media_id,
         | octet_length(CAST(text AS BLOB)) AS n_bytes,
         | sha256(text) AS sha,
-        | greatest(1, CAST(floor((doc_id % 60000) / 1000.0) AS INT)) AS frame_count
+        | CAST(greatest(1, CAST(floor((doc_id % 60000) / 1000.0) AS INT)) AS INT) AS frame_count
         |FROM documents""".stripMargin,
   )
 }

@@ -5,63 +5,92 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
 For each query result parquet in <verifyOutDir>/<name>/ compare against the
 oracle SQL in <verifyOutDir>/oracle_sql.json run by DuckDB over the same
-tables: schema (column names), row count, and value-hash after sorting
-columns by name and rows by all values.
+tables. The compare is TYPE-FAITHFUL (round-1 lesson: DuckDB sum()/list_sum()
+return HUGEINT, which str()-based comparison masks but the driver's typed
+hash rejects): the Spark result is read directly with pyarrow, the oracle is
+fetched as an Arrow table, and per-column Arrow dtypes must match (modulo a
+small equivalence map: any timestamp unit/tz ≡ timestamp, large_string ≡
+string) before values are compared.
 """
-import sys, json, glob, math
+import sys, json, glob, math, datetime, decimal
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
-def canon(rows, cols):
-    # sort columns by name, normalize cell values, sort rows
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        rr = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    rr.append("NaN")
-                else:
-                    rr.append(repr(v))
-            else:
-                rr.append(str(v))
-        out.append(tuple(rr))
-    out.sort()
-    return [cols[i] for i in order], out
+
+def norm_type(t: pa.DataType) -> str:
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "large_string":
+        return "string"
+    if s == "large_binary":
+        return "binary"
+    if s.startswith("large_list"):
+        return "list" + s[len("large_list"):]
+    return s
+
+
+def cell(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, (datetime.date, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon(tbl: pa.Table):
+    names = sorted(tbl.column_names)
+    tbl = tbl.select(names)
+    types = [norm_type(tbl.schema.field(n).type) for n in names]
+    rows = [tuple(cell(r[n]) for n in names) for r in tbl.to_pylist()]
+    rows.sort()
+    return names, types, rows
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    for tbl in ["region","nation","customer","supplier","part","orders",
-                "lineitem","events","documents","embeddings"]:
+    for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no result parquet"); n_fail += 1; continue
-        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        gcols, grows = canon(got.fetchall(), got.columns)
+        got = pa.concat_tables([pq.read_table(f) for f in files])
+        gcols, gtypes, grows = canon(got)
         try:
-            exp = con.sql(sql)
-            ecols, erows = canon(exp.fetchall(), exp.columns)
+            exp = con.sql(sql).arrow()
+            ecols, etypes, erows = canon(exp)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         if gcols != ecols:
             print(f"FAIL {name}: cols {gcols} != {ecols}"); n_fail += 1; continue
+        if gtypes != etypes:
+            bad = [(c, a, b) for c, a, b in zip(gcols, gtypes, etypes) if a != b]
+            print(f"FAIL {name}: dtype mismatch spark!=oracle {bad}")
+            n_fail += 1; continue
         if len(grows) != len(erows):
             print(f"FAIL {name}: rows {len(grows)} != {len(erows)}"); n_fail += 1; continue
         if grows != erows:
             diffs = [(a, b) for a, b in zip(grows, erows) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             n_fail += 1; continue
-        print(f"PASS {name}: {len(grows)} rows")
+        print(f"PASS {name}: {len(grows)} rows [{','.join(gtypes)}]")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
