@@ -68,6 +68,25 @@ object CdcPipeline {
     (version, dirty)
   }
 
+  /** P6 flatten at reference fidelity (MICROONE_PRED's projection,
+    * `convert_to_parquet.py:126-142`): dotted deep-path selects resolved
+    * case-insensitively (the reference SQL writes `detail.partitionkey`
+    * against JSON `partitionKey`; Spark's default
+    * `spark.sql.caseSensitive=false` gives the same), array-of-struct
+    * columns preserved AS columns (no explode shuffle), plus one
+    * 4-level path (`payload.output.metadata[].filtered_sentences[]`)
+    * flattened to a scalar array. Input: decoded events with a parsed
+    * `payload` struct. */
+  def flattenPrediction(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("event_id"), col("repo"), col("path"), col("seq"),
+      col("PAYLOAD.PARAGRAPH").as("paragraph"), // case-insensitive resolution
+      col("payload.scores").as("input_sentences_scores"), // array<struct> kept nested
+      col("payload.output.metadata").as("output_metadata"), // array<struct<…array>>
+      flatten(col("payload.output.metadata.filtered_sentences"))
+        .as("filtered_sentences_flat"),
+      col("payload.stars").as("stars"))
+
   /** Process a batch already in canonical parquet shape (no codec stage). */
   def processEvents(spark: SparkSession, events: DataFrame, lake: LakeTable,
       batchId: String): Long = {

@@ -88,8 +88,14 @@ object Model {
       StructField("tags", StringType),      // union string|list as raw JSON
       StructField("stars", LongType),       // v2-only (schema evolution add)
       StructField("descr", StringType),     // v1 name
-      StructField("description", StringType) // v2 name (rename evolution)
-    )))))
+      StructField("description", StringType), // v2 name (rename evolution)
+      // deep-nested branch at reference fidelity (MICROONE_PRED's
+      // output_metadata: struct→struct→array<struct>→array,
+      // `microone_prediction.json:122-162`):
+      StructField("output", StructType(Seq(
+        StructField("metadata", ArrayType(StructType(Seq(
+          StructField("idx", LongType),
+          StructField("filtered_sentences", ArrayType(StringType))))))))))))))
 
   /** Canonical lake schema (v1). Evolution appends columns. */
   val lakeSchemaV1: StructType = StructType(Seq(

@@ -63,7 +63,7 @@ class LakeTable(val root: String, spark: SparkSession,
 
   case class Snapshot(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
-      lineage: Map[String, Long])
+      lineage: Map[String, Long], batchId: String = "")
 
   private val mapper = new ObjectMapper()
 
@@ -262,7 +262,8 @@ class LakeTable(val root: String, spark: SparkSession,
       (prev.map(_.applied).getOrElse(scala.collection.immutable.ListMap.empty[String, String]) +
         (batchId -> fence)).takeRight(appliedWindow)
     val mergedOffsets = prev.map(_.offsets).getOrElse(Map.empty) ++ offsets
-    writeManifest(version, schema, retain ++ added, mergedOffsets, applied, lineage)
+    writeManifest(version, schema, retain ++ added, mergedOffsets, applied, lineage,
+      batchId)
     version
   }
 
@@ -289,11 +290,12 @@ class LakeTable(val root: String, spark: SparkSession,
 
   // ---- manifest io (driver-side small metadata, like Iceberg's) --------
 
-  private def writeManifest(version: Long, schema: StructType, files: Seq[FileEntry],
+  private[lake] def writeManifest(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
-      lineage: Map[String, Long]): Unit = {
+      lineage: Map[String, Long], batchId: String): Unit = {
     val m = new JLinkedHashMap[String, Object]()
     m.put("version", java.lang.Long.valueOf(version))
+    m.put("batchId", batchId)
     m.put("schema", schema.json)
     val fl: JList[Object] = new JArrayList[Object]()
     files.foreach { f =>
@@ -353,6 +355,25 @@ class LakeTable(val root: String, spark: SparkSession,
     val lineage = Option(m.get("lineage")).map(_.asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap)
       .getOrElse(Map.empty[String, Long])
-    Snapshot(version, schema, files, offsets, applied, lineage)
+    val batchId = Option(m.get("batchId")).map(_.asInstanceOf[String]).getOrElse("")
+    Snapshot(version, schema, files, offsets, applied, lineage, batchId)
+  }
+
+  /** Lineage / metrics side-table (≙ the reference's PROFILER→ES roll-up,
+    * `process_logs.py:140-190`, as a queryable table instead of an index):
+    * one row per snapshot with the commit's batchId and its row-count
+    * counters. This is the Iceberg `snapshots` metadata-table pattern —
+    * derived on demand from the (driver-side, metadata-scale) manifest
+    * log, zero overhead on the commit path. */
+  def lineageTable(): DataFrame = {
+    import spark.implicits._
+    val rows = (0L to currentVersion.getOrElse(-1L)).map { v =>
+      val s = snapshot(v)
+      def g(k: String): Long = s.lineage.getOrElse(k, -1L)
+      (v, s.batchId, g("parsed"), g("quarantined"), g("upserts"), g("deletes"),
+        g("rowsBefore"), g("rowsAfter"))
+    }
+    rows.toDF("version", "batch_id", "parsed", "quarantined", "upserts",
+      "deletes", "rows_before", "rows_after")
   }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.expressions.Window
   *    (deterministic hyperplanes derived from md5, so results are
   *    reproducible); candidates = same-bucket rows only, turning the
   *    cross product into an equi-join. Recall < 1 by construction;
-  *    probe multiple tables to trade cost for recall.
+  *    `probeBits = 1` probes every 1-bit-flip neighbor bucket too
+  *    (multi-probe LSH) to trade candidate cost for recall.
   *  - [[quantizedDotTopK]]: integer-quantized dot-product ranking —
   *    exact-arithmetic variant used for the DuckDB oracle gate.
   */
@@ -104,16 +105,31 @@ object Similarity {
     aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
   }
 
+  /** Multi-probe bucket list: the query's own bucket plus (for
+    * `probeBits = 1`) every bucket at Hamming distance 1 in the
+    * hyperplane signature — the standard multi-probe LSH recall/cost
+    * knob: 1 + nPlanes probes per query instead of 1 + nPlanes extra
+    * hash tables. Probes are distinct by construction and each corpus
+    * row lives in exactly one bucket, so no candidate pair duplicates. */
+  private def probeBuckets(bucket: Column, nPlanes: Int, probeBits: Int): Column =
+    if (probeBits <= 0) array(bucket)
+    else concat(array(bucket),
+      transform(sequence(lit(0), lit(nPlanes - 1)), j =>
+        bucket.bitwiseXOR(pow(lit(2.0), j.cast("double")).cast("int"))))
+
   /** LSH-bucketed ANN top-k with exact-integer ranking (the oracle-gated
     * variant): bucket on quantized projections, rank by quantized dot
-    * product within the query's bucket. */
+    * product within the query's probed buckets. `probeBits = 1` probes
+    * all 1-bit-flip neighbors of the query's bucket (multi-probe LSH)
+    * for higher recall at candidate-set cost; 0 = single-probe. */
   def lshTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+      queries: DataFrame, k: Int, nPlanes: Int = 8, probeBits: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucketQ(col("qv"), nPlanes))
     val q = queries.select(col("qid"), quantize(col("qvec")).as("qq"))
-      .withColumn("bucket", lshBucketQ(col("qq"), nPlanes))
+      .withColumn("bucket",
+        explode(probeBuckets(lshBucketQ(col("qq"), nPlanes), nPlanes, probeBits)))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("qdot", qdot(col("qv"), col("qq")))
@@ -128,11 +144,12 @@ object Similarity {
     * (equi-join on bucket id), then exact cosine rank within candidates.
     * The scale path: shuffle keys are bucket ids, never a cross join. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nPlanes: Int = 12): DataFrame = {
+      queries: DataFrame, k: Int, nPlanes: Int = 12, probeBits: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val q = queries.select(col("qid"), col("qvec"),
-      lshBucket(col("qvec"), nPlanes).as("bucket"))
+      explode(probeBuckets(lshBucket(col("qvec"), nPlanes), nPlanes, probeBits))
+        .as("bucket"))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("cos", cosine(col("vec"), col("qvec")))

@@ -57,8 +57,37 @@ object EngineE2E {
     out
   }
 
+  /** q25 — the lineage/metrics side-table under the oracle gate (S10/A2,
+    * ≙ PROFILER→ES roll-up `process_logs.py:140-190`): replay the same
+    * 3-batch changelog as q22, then read per-batch (upserts, deletes,
+    * rows-after-commit) from [[LakeTable.lineageTable]]; the oracle
+    * recomputes every counter independently in SQL. */
+  def q25Lineage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val changes = asChanges(ev)
+    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cut1 = maxSeq / 3
+    val cut2 = 2 * maxSeq / 3
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-lin-lake").toString
+    val lake = new LakeTable(lakeDir, spark)
+    val applier = new CdcApplier(lake, spark)
+    applier.applyBatch(changes.filter(col("seq") <= cut1), "lin-0")
+    applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "lin-1")
+    applier.applyBatch(changes.filter(col("seq") > cut2), "lin-2")
+    // lineageTable is built from driver-side manifest metadata — safe to
+    // delete the temp lake right away
+    val out = lake.lineageTable()
+      .select(col("batch_id"), col("upserts"), col("deletes"), col("rows_after"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(lakeDir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q22_cdc_engine_replay" -> q22CdcReplay _)
+    "q22_cdc_engine_replay" -> q22CdcReplay _,
+    "q25_lineage_metrics" -> q25Lineage _)
 
   val oracles: Map[String, String] = Map(
     "q22_cdc_engine_replay" ->
@@ -74,5 +103,25 @@ object EngineE2E {
         |             ELSE 'UPDATE' END AS op,
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         | FROM events)
-        |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin)
+        |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
+    "q25_lineage_metrics" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |e AS (SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+        |  CASE WHEN event_id <= (SELECT mx//3 FROM m) THEN 0
+        |       WHEN event_id <= (SELECT (2*mx)//3 FROM m) THEN 1 ELSE 2 END AS b
+        | FROM events),
+        |counts AS (
+        | SELECT b, CAST(sum(CASE WHEN op <> 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS upserts,
+        |        CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS deletes
+        | FROM e GROUP BY b),
+        |states AS (
+        | SELECT cb, CAST(count(*) AS BIGINT) AS rows_after FROM (
+        |   SELECT bb.b AS cb, user_id, arg_max(op, event_id) AS last_op
+        |   FROM e JOIN (VALUES (0),(1),(2)) AS bb(b) ON e.b <= bb.b
+        |   GROUP BY bb.b, user_id)
+        | WHERE last_op <> 'DELETE' GROUP BY cb)
+        |SELECT concat('lin-', CAST(c.b AS VARCHAR)) AS batch_id,
+        |       upserts, deletes, rows_after
+        |FROM counts c JOIN states s ON c.b = s.cb""".stripMargin)
 }

@@ -216,8 +216,58 @@ object Relational {
         "^Errors:", "").as("errors"))
   }
 
+  /** q24 — lookup-enrichment join (R6/J1, the reference's most intricate
+    * transform, `flat_jsons.py:139-183`) under the oracle gate:
+    * first-match-wins pick (O3: min per key), miss-keeps-original-id
+    * (coalesce fallback), and the ADD_TAG null-out branch (here: 'click'
+    * events get their media URI nulled). Dimension is broadcast — the
+    * containment lookup recast as a hash equi-join on a pre-split key. */
+  def q24LookupEnrich(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val ev = t(dir, "events")
+      .select($"event_id", $"event_type", pmod($"user_id", lit(25)).as("media_key"))
+    val dim = t(dir, "customer")
+      .select(($"c_custkey" % 25).as("lookup_key"),
+        concat(lit("s3://media/"), $"c_name").as("uri"))
+      .filter($"lookup_key" < 20) // keys 20-24 miss → original id kept
+    graft.repair.Repair.enrichUri(ev, dim, col("media_key"))
+      .select($"event_id", $"media_key",
+        when($"event_type" === "click", lit(null).cast("string"))
+          .otherwise(coalesce($"uri",
+            concat(lit("id:"), $"media_key".cast("string")))).as("uri_final"))
+  }
+
+  /** q26 — deep-nested flatten (P6 at reference fidelity,
+    * `convert_to_parquet.py:126-142` MICROONE_PRED shape): build a
+    * 3-level payload struct→array<struct>→array, then flatten via dotted
+    * nested paths, element_at into the array-of-struct, and an exact
+    * integer aggregate over the doubly-nested score arrays. One
+    * projection, no explode shuffle. */
+  def q26DeepFlatten(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val nested = t(dir, "events").select($"event_id", struct(
+      struct($"user_id".as("uid"), $"event_type".as("svc")).as("meta"),
+      array(
+        struct(lit(0).as("idx"), array($"value", $"value" * 2).as("scores")),
+        struct(lit(1).as("idx"), array($"value" * 3).as("scores"))
+      ).as("metadata")).as("detail"))
+    nested.select(
+      $"event_id",
+      $"detail.meta.uid".as("uid"),
+      $"detail.meta.svc".as("svc"),
+      size($"detail.metadata").as("n_meta"),
+      cents(element_at(element_at($"detail.metadata", 1).getField("scores"), 1))
+        .as("first_cents"),
+      aggregate(flatten($"detail.metadata.scores"), lit(0L),
+        (acc, x) => acc + round(x * 100).cast("long")).as("total_cents"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_log_parse" -> q23LogParse _,
+    "q24_lookup_enrich" -> q24LookupEnrich _,
+    "q26_deep_flatten" -> q26DeepFlatten _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_broadcast_join" -> q03BroadcastJoin _,
@@ -231,6 +281,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_lookup_enrich" ->
+      """WITH dim AS (
+        | SELECT c_custkey % 25 AS lookup_key, min('s3://media/' || c_name) AS uri
+        | FROM customer WHERE c_custkey % 25 < 20 GROUP BY 1)
+        |SELECT event_id, user_id % 25 AS media_key,
+        | CASE WHEN event_type = 'click' THEN NULL
+        |      ELSE coalesce(uri, 'id:' || CAST(user_id % 25 AS VARCHAR)) END AS uri_final
+        |FROM events LEFT JOIN dim ON user_id % 25 = lookup_key""".stripMargin,
+    "q26_deep_flatten" ->
+      """SELECT event_id, user_id AS uid, event_type AS svc,
+        | CAST(2 AS INT) AS n_meta,
+        | CAST(round(value*100) AS BIGINT) AS first_cents,
+        | CAST(round(value*100) + round(value*2*100) + round(value*3*100) AS BIGINT) AS total_cents
+        |FROM events""".stripMargin,
     "q23_log_parse" ->
       """SELECT event_id,
         | CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS log_ts,

@@ -96,13 +96,15 @@ object TrainingData {
   }
 
   /** q20 — ANN scale path: sign-random-projection LSH buckets with
-    * exact-integer projections and ranking (oracle-gated; approximate
-    * recall by construction — candidates come from the query's bucket). */
+    * exact-integer projections and ranking (oracle-gated). Multi-probe
+    * (`probeBits = 1`): each query also probes all 1-bit-flip neighbor
+    * buckets — the recall/cost knob; candidates stay an equi-join. */
   def q20AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Similarity.lshTopKQuantized(e, "vec_id", "embedding", q, 5, nPlanes = 8)
+    Similarity.lshTopKQuantized(e, "vec_id", "embedding", q, 5, nPlanes = 8,
+      probeBits = 1)
   }
 
   /** q21 — multimodal plumbing: opaque binary payload + typed metadata →
@@ -259,14 +261,17 @@ object TrainingData {
         | FROM embeddings
         |), bkt AS (
         | SELECT vec_id, v,
-        |   list_sum([ (CASE WHEN list_sum([ v[i+1] *
+        |   CAST(list_sum([ (CASE WHEN list_sum([ v[i+1] *
         |       (CASE WHEN strpos('0123456789abcdef',
         |           substr(md5(concat(CAST(p AS VARCHAR), '/', CAST(i AS VARCHAR))), 1, 1)) - 1 >= 8
         |         THEN 1 ELSE -1 END)
         |     for i in range(0, len(v))]) >= 0 THEN 1 ELSE 0 END) * (2**(7-p))
-        |   for p in range(0, 8)]) AS bucket
+        |   for p in range(0, 8)]) AS BIGINT) AS bucket
         | FROM qv
-        |), q AS (SELECT vec_id AS qid, v AS qq, bucket FROM bkt WHERE vec_id < 10),
+        |), q AS (SELECT qid, qq, unnest(probes) AS bucket FROM (
+        |   SELECT vec_id AS qid, v AS qq,
+        |     list_concat([bucket], [xor(bucket, CAST(1 AS BIGINT) << j) for j in range(0, 8)]) AS probes
+        |   FROM bkt WHERE vec_id < 10)),
         |c AS (SELECT vec_id AS neighbor_id, v AS qv2, bucket FROM bkt)
         |SELECT qid, neighbor_id, rank, qdot FROM (
         | SELECT qid, neighbor_id,

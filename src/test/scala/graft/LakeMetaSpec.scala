@@ -1,0 +1,98 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.apply.CdcApplier
+import graft.gen.ChangeLogGen
+
+/** Lake metadata-layer guarantees: the commit fence refuses to clobber an
+  * existing snapshot, the applied-batch fence map stays bounded, the
+  * lineage side-table mirrors commit counters, and distributed file
+  * pruning agrees with the driver-side reference implementation. */
+class LakeMetaSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def schema = graft.core.Model.lakeSchemaV1
+
+  test("publishing the same manifest version twice fails, first commit survives") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakefence"), spark)
+    lake.commit("b0", Map("p0" -> 1L), schema, Nil, Nil)
+    val v0 = java.nio.file.Paths.get(lake.root, "meta", "v0.json")
+    val original = java.nio.file.Files.readString(v0)
+    // a second writer publishing version 0 must fail EEXIST-atomically
+    // (rename(2) would silently replace it) and leave the winner intact
+    intercept[java.util.ConcurrentModificationException] {
+      lake.writeManifest(0L, schema, Nil, Map("p0" -> 99L),
+        Map("intruder" -> "x"), Map.empty, "intruder")
+    }
+    assert(java.nio.file.Files.readString(v0) == original)
+    assert(lake.committedOffsets == Map("p0" -> 1L))
+  }
+
+  test("applied-batch fence map is bounded to the sliding window across 100 commits") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakewindow"), spark, appliedWindow = 8)
+    (0 until 100).foreach { i =>
+      lake.commit(s"b$i", Map("p0" -> i.toLong), schema, Nil, Nil)
+    }
+    val snap = lake.currentSnapshot.get
+    assert(snap.version == 99L)
+    assert(snap.applied.size == 8)
+    // FIFO: exactly the most recent 8 batch ids, in commit order
+    assert(snap.applied.keys.toSeq == (92 until 100).map(i => s"b$i"))
+    // offsets watermark still cumulative (the primary replay fence)
+    assert(lake.committedOffsets == Map("p0" -> 99L))
+    // replaying a batch still inside the window is a metadata no-op
+    assert(lake.commit("b99", Map("p0" -> 99L), schema, Nil, Nil) == 99L)
+    assert(lake.currentSnapshot.get.version == 99L)
+  }
+
+  test("lineage side-table mirrors per-commit counters and batch ids") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakelin"), spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = ChangeLogGen.events(spark, 600, 7L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    applier.applyBatch(ev.filter($"seq" < 300), "lin-a")
+    applier.applyBatch(ev.filter($"seq" >= 300), "lin-b")
+    val rows = lake.lineageTable().orderBy($"version").collect()
+    assert(rows.map(_.getAs[String]("batch_id")).toSeq == Seq("lin-a", "lin-b"))
+    val opCounts = ev.withColumn("half", $"seq" >= 300)
+      .groupBy($"half").agg(
+        sum(when($"op" === "DELETE", 1L).otherwise(0L)).as("d"),
+        sum(when($"op" =!= "DELETE", 1L).otherwise(0L)).as("u"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert((rows(0).getAs[Long]("deletes"), rows(0).getAs[Long]("upserts"))
+      == opCounts(false))
+    assert((rows(1).getAs[Long]("deletes"), rows(1).getAs[Long]("upserts"))
+      == opCounts(true))
+    // rows_after of the last commit = current table size
+    assert(rows(1).getAs[Long]("rows_after") == lake.read().count())
+  }
+
+  test("distributed interval-index pruning ≡ driver-side reference pruning") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakeprune"), spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = ChangeLogGen.events(spark, 2000, 13L)
+      .filter(lower($"source") === "app.change.log")
+      .withColumn("grp", (substring($"repo", 6, 4).cast("int") / 25).cast("long"))
+      .withColumn("part", concat($"grp", lit("-"), $"part"))
+      .select($"grp", $"op", $"part", $"repo", $"path", $"commit", $"lang",
+        $"content", $"seq")
+    (0 until 4).foreach { b =>
+      applier.applyBatch(ev.filter($"grp" === b).drop("grp"), s"pr-$b")
+    }
+    val snap = lake.currentSnapshot.get
+    assert(snap.files.size >= 2)
+    for (repos <- Seq(Set("repo-0000"), Set("repo-0003", "repo-0090"),
+        Set("nope"), Set("repo-0000", "nope", "repo-0055"))) {
+      val (t1, r1) = lake.pruneFiles(snap, repos)
+      val (t2, r2) = lake.pruneFilesDistributed(snap, repos.toSeq.toDF("repo"))
+      assert(t1.map(_.path).toSet == t2.map(_.path).toSet, s"touched for $repos")
+      assert(r1.map(_.path).toSet == r2.map(_.path).toSet, s"retained for $repos")
+    }
+  }
+}

@@ -89,6 +89,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH ANN: 1-bit probes strictly widen the candidate set and lift recall") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i + d * 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def pairs(probeBits: Int, k: Int) =
+      Similarity.lshTopKQuantized(vecs, "vec_id", "embedding", q, k,
+        nPlanes = 8, probeBits = probeBits)
+        .select($"qid", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with k large enough to keep every candidate: multi-probe ⊇ single
+    val single = pairs(0, 1000)
+    val multi = pairs(1, 1000)
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size) // 1-bit flips found extra candidates
+    // recall@5 vs the exact quantized ranking never degrades
+    val exact = Similarity.quantizedDotTopK(vecs, "vec_id", "embedding", q, 5)
+      .select($"qid", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = (pairs(0, 5) & exact).size
+    val rMulti = (pairs(1, 5) & exact).size
+    assert(rMulti >= rSingle)
+  }
+
   test("multimodal plumbing: batched stub decode, sha + byte counts exact") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val feats = Multimodal.extractFeatures(media).collect()

@@ -30,8 +30,9 @@ class RepairValidateSpec extends AnyFunSuite {
 
   private def payload(scores: Seq[Row] = null, paragraph: String = null,
       tags: String = null, stars: java.lang.Long = null,
-      descr: String = null, description: String = null): Row =
-    Row(scores, paragraph, tags, stars, descr, description)
+      descr: String = null, description: String = null,
+      output: Row = null): Row =
+    Row(scores, paragraph, tags, stars, descr, description, output)
 
   test("R1: -1 score sentinel → null, ints recast to double, absent array → null") {
     val in = eventDf("UPDATE", payload(scores = Seq(
