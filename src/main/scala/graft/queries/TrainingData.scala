@@ -200,11 +200,15 @@ object TrainingData {
         |   list_distinct([substr(substr(text,1,200), i, 5)
         |     for i in range(1, greatest(length(substr(text,1,200))-4, 1)+1)]) AS sh
         | FROM documents
+        |), lanes AS (
+        | SELECT id, sh, list_transform(sh, s ->
+        |   [ list_sum([ (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(8-j))) for j in range(1, 9)]),
+        |     list_sum([ (strpos('0123456789abcdef', substr(md5(s), j+8, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(8-j))) for j in range(1, 9)]) ]) AS ab
+        | FROM d
         |), sig AS (
         | SELECT id, sh,
-        |   [list_aggregate(list_transform(sh, s -> md5(concat(CAST(h AS VARCHAR), ':', s))), 'min')
-        |    for h in range(0, 16)] AS sg
-        | FROM d
+        |   [ CAST(list_aggregate(list_transform(ab, p -> (p[1]*(2*h+1)+p[2]) % 2147483647), 'min') AS BIGINT) for h in range(0, 16)] AS sg
+        | FROM lanes
         |), banded AS (
         | SELECT id, sh, b AS band, md5(array_to_string(sg[b*8+1:b*8+8], '|')) AS bucket
         | FROM sig, range(0, 2) AS r(b)

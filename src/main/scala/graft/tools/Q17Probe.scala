@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe for q17 cost attribution (not part of the driver contract). */
+object Q17Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Bench.session(32)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    docs.count() // warm scan
+    val txt = substring(col("text"), 1, 200)
+    time("shingles-only") {
+      docs.select(graft.ops.TextAnalysis.shingles(txt, 5).as("sh"))
+        .select(sum(size(col("sh")))).head().getLong(0)
+    }
+    time("signature-only") {
+      docs.select(graft.ops.Dedup.minhashSignature(txt, 5, 16).as("sig"))
+        .select(sum(size(col("sig")))).head().getLong(0)
+    }
+    time("banded-only") {
+      docs.select(col("doc_id"),
+        explode(graft.ops.Dedup.lshBuckets(
+          graft.ops.Dedup.minhashSignature(txt, 5, 16), 2, 8)).as("bb"))
+        .count()
+    }
+    time("full-q17") {
+      graft.queries.TrainingData.q17MinhashLsh(spark, dir).count()
+    }
+    time("full-q17-again") {
+      graft.queries.TrainingData.q17MinhashLsh(spark, dir).count()
+    }
+    spark.stop()
+  }
+}
