@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -59,7 +59,8 @@ class LakeTable(val root: String, spark: SparkSession,
   Files.createDirectories(dataDir)
 
   case class FileEntry(path: String, rows: Long, minRepo: String, maxRepo: String,
-      minKey: String, maxKey: String)
+      minKey: String, maxKey: String,
+      minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue)
 
   case class Snapshot(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
@@ -191,11 +192,12 @@ class LakeTable(val root: String, spark: SparkSession,
     import scala.concurrent.duration.Duration
     val entries = Await.result(Future.traverse(parts.zipWithIndex.toList) {
       case (src, i) => Future {
-        val (rows, minR, maxR, minP, maxP) = footerStats(src, conf)
+        val (rows, minR, maxR, minP, maxP, minS, maxS) = footerStats(src, conf)
         val name = s"$label-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
         val dst = dataDir.resolve(name)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP")
+        FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
+          minS, maxS)
       }
     }, Duration.Inf)
     // clean tmp dir remnants (_SUCCESS etc.)
@@ -204,9 +206,10 @@ class LakeTable(val root: String, spark: SparkSession,
     entries.filter(_.rows > 0)
   }
 
-  /** Row count + (repo, path) column min/max from a parquet footer. */
+  /** Row count + (repo, path) string min/max + seq long min/max from a
+    * parquet footer. */
   private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
-      : (Long, String, String, String, String) = {
+      : (Long, String, String, String, String, Long, Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
@@ -216,31 +219,42 @@ class LakeTable(val root: String, spark: SparkSession,
       var rows = 0L
       var minR: String = null; var maxR: String = null
       var minP: String = null; var maxP: String = null
+      var minS = Long.MaxValue; var maxS = Long.MinValue
       blocks.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala.foreach { c =>
           val colName = c.getPath.toDotString
           val st = c.getStatistics
-          if ((colName == "repo" || colName == "path") &&
-              st != null && st.hasNonNullValue) {
+          if (st != null && st.hasNonNullValue) {
             def str(v: Any): String = v match {
               case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
               case other => String.valueOf(other)
             }
-            val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
-            if (colName == "repo") {
-              if (minR == null || lo < minR) minR = lo
-              if (maxR == null || hi > maxR) maxR = hi
-            } else {
-              if (minP == null || lo < minP) minP = lo
-              if (maxP == null || hi > maxP) maxP = hi
+            colName match {
+              case "repo" =>
+                val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
+                if (minR == null || lo < minR) minR = lo
+                if (maxR == null || hi > maxR) maxR = hi
+              case "path" =>
+                val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
+                if (minP == null || lo < minP) minP = lo
+                if (maxP == null || hi > maxP) maxP = hi
+              case "seq" => (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  if (lo < minS) minS = lo
+                  if (hi > maxS) maxS = hi
+                case _ => ()
+              }
+              case _ => ()
             }
           }
         }
       }
       (rows,
         Option(minR).getOrElse(""), Option(maxR).getOrElse("\uffff"),
-        Option(minP).getOrElse(""), Option(maxP).getOrElse("\uffff"))
+        Option(minP).getOrElse(""), Option(maxP).getOrElse("\uffff"),
+        if (minS == Long.MaxValue) Long.MinValue else minS,
+        if (maxS == Long.MinValue) Long.MaxValue else maxS)
     } finally reader.close()
   }
 
@@ -284,6 +298,45 @@ class LakeTable(val root: String, spark: SparkSession,
       Map("compactedFiles" -> small.size.toLong, "rowsAfter" -> snap.files.map(_.rows).sum)))
   }
 
+  /** Incremental change feed: rows whose winning `seq` is after
+    * `afterSeq` — what a downstream CDC consumer reads per poll. Files
+    * whose footer maxSeq ≤ afterSeq are pruned at the MANIFEST (zero IO):
+    * retained-by-reference files from old commits drop out immediately,
+    * so the scan cost tracks the churn since `afterSeq`, not table size —
+    * the seq stats play the role of Iceberg's hidden time partitioning.
+    * Returns (feed, filesScanned, filesTotal). */
+  def readSince(afterSeq: Long, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val snapOpt = version.map(snapshot).orElse(currentSnapshot)
+    snapOpt match {
+      case Some(s) =>
+        val live = s.files.filter(_.maxSeq > afterSeq)
+        val df =
+          if (live.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+          else spark.read.schema(s.schema)
+            .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
+            .filter(col("seq") > afterSeq)
+        (df, live.size, s.files.size)
+      case None =>
+        (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.Model.lakeSchemaV1), 0, 0)
+    }
+  }
+
+  /** Materialize the current snapshot in the reference's output layout:
+    * hive-partitioned parquet `year=/month=/day=/hour=` derived from a
+    * timestamp column (P7 + S9, `convert_to_parquet.py:206-211,236-238`)
+    * — the hand-off format for downstream consumers that want partition
+    * pruning by event time. */
+  def exportHive(outDir: String, tsCol: Column): Unit =
+    read()
+      .withColumn("year", year(tsCol)).withColumn("month", month(tsCol))
+      .withColumn("day", dayofmonth(tsCol)).withColumn("hour", hour(tsCol))
+      .write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour").parquet(outDir)
+
   /** Committed per-source-partition offsets: the resume point. */
   def committedOffsets: Map[String, Long] =
     currentSnapshot.map(_.offsets).getOrElse(Map.empty)
@@ -303,6 +356,8 @@ class LakeTable(val root: String, spark: SparkSession,
       e.put("path", f.path); e.put("rows", java.lang.Long.valueOf(f.rows))
       e.put("minRepo", f.minRepo); e.put("maxRepo", f.maxRepo)
       e.put("minKey", f.minKey); e.put("maxKey", f.maxKey)
+      e.put("minSeq", java.lang.Long.valueOf(f.minSeq))
+      e.put("maxSeq", java.lang.Long.valueOf(f.maxSeq))
       fl.add(e)
     }
     m.put("files", fl)
@@ -344,7 +399,11 @@ class LakeTable(val root: String, spark: SparkSession,
       FileEntry(e.get("path").asInstanceOf[String],
         e.get("rows").asInstanceOf[Number].longValue(),
         e.get("minRepo").asInstanceOf[String], e.get("maxRepo").asInstanceOf[String],
-        e.get("minKey").asInstanceOf[String], e.get("maxKey").asInstanceOf[String])
+        e.get("minKey").asInstanceOf[String], e.get("maxKey").asInstanceOf[String],
+        Option(e.get("minSeq")).map(_.asInstanceOf[Number].longValue())
+          .getOrElse(Long.MinValue),
+        Option(e.get("maxSeq")).map(_.asInstanceOf[Number].longValue())
+          .getOrElse(Long.MaxValue))
     }.toSeq
     val offsets = m.get("offsets").asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap

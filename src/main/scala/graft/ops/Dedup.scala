@@ -157,12 +157,39 @@ object Dedup {
     when(text.isNull, lit(null)).otherwise(concat_ws("", nibbles))
   }
 
+  /** SimHash signatures for a whole table — the hot-path shape (same
+    * lesson as [[minhashLsh]]): explode distinct tokens to rows, ONE
+    * codegen'd md5 per (doc, token), then a single hash aggregate of 64
+    * bit-vote sums (16 nibbles × 4 bits, map-side combined) and a pure
+    * projection packs the hex signature. The Column form [[simhashHex]]
+    * re-hashes every token per nibble (16× md5) inside non-CSE'd array
+    * lambdas — keep it off hot paths. NULL texts yield no row (matches
+    * a SQL oracle's unnest semantics). Returns (idCol, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
+      .select(col("id"), md5(col("t")).as("hx"))
+    def nib(j: Int) = conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int")
+    val votes = toks.groupBy(col("id")).agg(
+      sum(when(nib(0).bitwiseAND(lit(8)) === 8, 1).otherwise(-1)).as("v0_8"),
+      (for {j <- 0 until 16; m <- Seq(8, 4, 2, 1); if !(j == 0 && m == 8)} yield
+        sum(when(nib(j).bitwiseAND(lit(m)) === m, 1).otherwise(-1)).as(s"v${j}_$m")): _*)
+    val hexChars = (0 until 16).map { j =>
+      val v = Seq(8, 4, 2, 1).map(m =>
+        when(col(s"v${j}_$m") > 0, lit(m)).otherwise(lit(0))).reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    votes.select(col("id").as(idCol), concat(hexChars: _*).as("simhash"))
+  }
+
   /** SimHash near-dup pairs by pigeonhole: two docs within Hamming
     * distance ≤ 3 over 16 nibbles must agree exactly on one of 4
     * nibble-blocks → equi-join per block, verify nibble-distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxNibbleDist: Int = 3): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"), simhashHex(col(textCol)).as("sig"))
+    val sigd = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sig"))
     val blocked = sigd.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("blk"), col("sig").substr(b * 4 + 1, lit(4)).as("key")))).as("bk"))

@@ -80,11 +80,11 @@ object TrainingData {
       numHashes = 16, bands = 2, threshold = 0.5,
       prefixChars = Q17PrefixChars)
 
-  /** q18 — SimHash signatures (NULL texts excluded on both sides: the
-    * oracle's unnest of a NULL token list emits no row). */
+  /** q18 — SimHash signatures via the explode + hash-aggregate path (one
+    * md5 per token; NULL texts excluded on both sides, matching the
+    * oracle's unnest semantics). */
   def q18Simhash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).filter(col("text").isNotNull).select(col("doc_id"),
-      Dedup.simhashHex(col("text")).as("simhash"))
+    Dedup.simhash(docs(spark, dir), "doc_id", "text")
 
   /** q19 — ANN brute-force top-5 by quantized dot product (oracle-gated
     * exact-integer ranking; queries = vec_id < 10, broadcast). */

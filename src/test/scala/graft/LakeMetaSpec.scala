@@ -73,6 +73,46 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("rows_after") == lake.read().count())
   }
 
+  test("readSince: change feed matches filtered full read and prunes files by seq stats") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakefeed"), spark)
+    val applier = new CdcApplier(lake, spark)
+    // three batches over DISJOINT repo groups and seq ranges, so earlier
+    // batches' files are retained by reference and must be pruned by the
+    // feed's footer-maxSeq check
+    val ev = (0 until 300).map { i =>
+      val b = i / 100
+      ("UPDATE", s"$b", f"g$b-repo${i % 10}%02d", s"p${i % 50}", s"c$i", "scala",
+        s"content-$i", i.toLong)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    (0 until 3).foreach { b =>
+      applier.applyBatch(ev.filter($"seq" >= b * 100 && $"seq" < (b + 1) * 100), s"s-$b")
+    }
+    val (feed, scanned, total) = lake.readSince(199)
+    val got = feed.select($"repo", $"path", $"seq").collect().map(_.toSeq).toSet
+    val want = lake.read().filter($"seq" > 199)
+      .select($"repo", $"path", $"seq").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    assert(scanned < total, s"expected manifest pruning, scanned $scanned/$total")
+    // nothing newer than the high watermark:
+    assert(lake.readSince(Long.MaxValue - 1)._1.isEmpty)
+  }
+
+  test("exportHive materializes the reference's year/month/day/hour layout") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakehive"), spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = ChangeLogGen.events(spark, 400, 11L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    applier.applyBatch(ev, "h-0")
+    val out = TestSpark.tmpDir("hiveout")
+    lake.exportHive(out, timestamp_seconds($"seq" * 3600))
+    val back = spark.read.parquet(out)
+    assert(back.count() == lake.read().count())
+    assert(Seq("year", "month", "day", "hour").forall(back.columns.contains))
+    val parts = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("year=")))
+  }
+
   test("distributed interval-index pruning ≡ driver-side reference pruning") {
     val lake = new LakeTable(TestSpark.tmpDir("lakeprune"), spark)
     val applier = new CdcApplier(lake, spark)

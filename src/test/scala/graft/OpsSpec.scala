@@ -55,6 +55,11 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((2L, 3L)))
+    // the fast explode+aggregate path produces bit-identical signatures
+    // to the Column (lambda) form
+    val fast = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast == sigs)
   }
 
   test("quantized-dot ANN matches brute-force cosine ranking on unit-ish data") {
