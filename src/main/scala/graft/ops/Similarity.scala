@@ -68,42 +68,52 @@ object Similarity {
         col("qdot"))
   }
 
-  /** Deterministic pseudo-random hyperplane component h(plane, dim) ∈
-    * {-1, +1}, derived from md5 — reproducible across runs/engines. */
-  private def planeSign(plane: Column, dim: Column): Column =
-    when(conv(substring(md5(concat(plane.cast("string"), lit("/"),
-      dim.cast("string"))), 1, 1), 16, 10).cast("int") >= 8, lit(1.0))
-      .otherwise(lit(-1.0))
+  /** Deterministic hyperplane sign row: sign(p, i) = +1 iff the first
+    * hex nibble of md5("p/i") ≥ 8 — the exact values the DuckDB oracle
+    * derives with its md5 formula, but computed ONCE on the driver. The
+    * signs are data-independent; evaluating them as md5 Column calls
+    * cost plane × dim digests per ROW (q20's dominant cost, profiled).
+    * They ship to executors as one array literal per plane. */
+  private def planeSignRow(p: Int, dim: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val d = md.digest(s"$p/$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) >= 8) 1L else -1L
+    }
+  }
 
   /** Sign-random-projection bucket: `nPlanes`-bit signature of the
     * vector (bit p = sign of Σᵢ v[i]·h(p,i)). Vectors in the same bucket
-    * are ANN candidates. */
-  def lshBucket(vec: Column, nPlanes: Int = 12): Column = {
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeSign(p, i)),
+    * are ANN candidates. `dim` = embedding dimensionality (vectors
+    * shorter than `dim` yield a null bucket and drop out). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val signs = typedLit(planeSignRow(p, dim).map(_.toDouble))
+      val proj = aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0))
-    })
-    aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
+    }
+    bits.zipWithIndex.map { case (b, i) => b * (1 << (nPlanes - 1 - i)) }
+      .reduce(_ + _)
   }
 
   /** Integer-exact sign-random-projection bucket: same hyperplanes as
     * [[lshBucket]] but over the quantized vector, so the projection is an
     * exact integer sum — bit-identical in any engine (oracle-gated). */
-  def lshBucketQ(qvec: Column, nPlanes: Int = 8): Column = {
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(qvec, sequence(lit(0), size(qvec) - 1),
-          (x, i) => x * when(conv(substring(md5(concat(p.cast("string"), lit("/"),
-            i.cast("string"))), 1, 1), 16, 10).cast("int") >= 8, lit(1L))
-            .otherwise(lit(-1L))),
+  def lshBucketQ(qvec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val signs = typedLit(planeSignRow(p, dim))
+      val proj = aggregate(zip_with(qvec, signs, (x, s) => x * s),
         lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0))
-    })
-    aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
+    }
+    bits.zipWithIndex.map { case (b, i) => b * (1 << (nPlanes - 1 - i)) }
+      .reduce(_ + _)
   }
+
+  /** Embedding dimensionality probe (one-row driver lookup). */
+  private def dimOf(df: DataFrame, vecCol: Column): Int =
+    df.select(size(vecCol)).head().getInt(0)
 
   /** Multi-probe bucket list: the query's own bucket plus (for
     * `probeBits = 1`) every bucket at Hamming distance 1 in the
@@ -124,12 +134,13 @@ object Similarity {
     * for higher recall at candidate-set cost; 0 = single-probe. */
   def lshTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nPlanes: Int = 8, probeBits: Int = 0): DataFrame = {
+    val dim = dimOf(corpus, col(vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucketQ(col("qv"), nPlanes))
+      .withColumn("bucket", lshBucketQ(col("qv"), nPlanes, dim))
     val q = queries.select(col("qid"), quantize(col("qvec")).as("qq"))
       .withColumn("bucket",
-        explode(probeBuckets(lshBucketQ(col("qq"), nPlanes), nPlanes, probeBits)))
+        explode(probeBuckets(lshBucketQ(col("qq"), nPlanes, dim), nPlanes, probeBits)))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("qdot", qdot(col("qv"), col("qq")))
@@ -145,10 +156,11 @@ object Similarity {
     * The scale path: shuffle keys are bucket ids, never a cross join. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nPlanes: Int = 12, probeBits: Int = 0): DataFrame = {
+    val dim = dimOf(corpus, col(vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val q = queries.select(col("qid"), col("qvec"),
-      explode(probeBuckets(lshBucket(col("qvec"), nPlanes), nPlanes, probeBits))
+      explode(probeBuckets(lshBucket(col("qvec"), nPlanes, dim), nPlanes, probeBits))
         .as("bucket"))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("qid"))
