@@ -31,9 +31,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // bench inputs are small relative to the default 128 MB split —
-      // size scan splits so every core gets work (same knob a 100 TB run
-      // tunes the other way):
-      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // size scan splits so every core gets work and task waves pack
+      // evenly at every parallelism level (same knob a 100 TB run tunes
+      // the other way):
+      // 4 MB: ~128 splits for the 8M-event blob log → task waves pack
+      // evenly from local[2] to local[32] (43 × 12 MB splits left a 14%
+      // straggler tail at 8 cores that read as fake scaling loss)
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_MB", "4").toInt * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

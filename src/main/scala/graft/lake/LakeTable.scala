@@ -337,6 +337,35 @@ class LakeTable(val root: String, spark: SparkSession,
       .write.mode("overwrite")
       .partitionBy("year", "month", "day", "hour").parquet(outDir)
 
+  /** Expire old snapshots and vacuum unreferenced data files (≙ Iceberg
+    * `expire_snapshots` + `remove_orphan_files`; the reference's 30-day
+    * dirty-data lifecycle, `deployments/main.tf:51-61`, is the same
+    * hygiene). Keeps the newest `keepLast` manifests; any data file not
+    * referenced by a KEPT snapshot is deleted — this covers both files
+    * dropped by later merges and crash orphans (written but never
+    * committed). Time travel remains valid within the kept window.
+    * Returns (manifestsDeleted, dataFilesDeleted). Single-writer, like
+    * commit. */
+  def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion.getOrElse(return (0, 0))
+    val keepFrom = math.max(0L, cur - keepLast + 1)
+    val live: Set[String] = (keepFrom to cur)
+      .flatMap(v => snapshot(v).files.map(_.path)).toSet
+    var dataDeleted = 0
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+      if (!live.contains(s"data/${p.getFileName}")) {
+        if (Try(Files.deleteIfExists(p)).getOrElse(false)) dataDeleted += 1
+      }
+    }
+    var metaDeleted = 0
+    (0L until keepFrom).foreach { v =>
+      if (Try(Files.deleteIfExists(metaDir.resolve(s"v$v.json"))).getOrElse(false))
+        metaDeleted += 1
+    }
+    (metaDeleted, dataDeleted)
+  }
+
   /** Committed per-source-partition offsets: the resume point. */
   def committedOffsets: Map[String, Long] =
     currentSnapshot.map(_.offsets).getOrElse(Map.empty)

@@ -113,6 +113,35 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(parts.nonEmpty && parts.forall(_.startsWith("year=")))
   }
 
+  test("expireSnapshots vacuums dropped files and crash orphans, keeps the window readable") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakevac"), spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = ChangeLogGen.events(spark, 1200, 17L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    // overlapping key ranges → each batch rewrites (drops) earlier files
+    (0 until 4).foreach { b =>
+      applier.applyBatch(ev.filter($"seq" >= b * 300 && $"seq" < (b + 1) * 300), s"v-$b")
+    }
+    // plant a crash orphan: a data file never referenced by any manifest
+    val orphan = java.nio.file.Paths.get(lake.root, "data", "orphan-00000.parquet")
+    java.nio.file.Files.writeString(orphan, "not really parquet")
+    val cur = lake.currentVersion.get
+    val want = lake.read().select($"repo", $"path", $"commit").collect().map(_.toSeq).toSet
+    val (metaGone, dataGone) = lake.expireSnapshots(keepLast = 2)
+    assert(metaGone == cur.toInt - 1) // kept cur and cur-1
+    assert(dataGone >= 1) // at least the orphan
+    assert(!java.nio.file.Files.exists(orphan))
+    // current state unchanged; time travel valid inside the window only
+    val got = lake.read().select($"repo", $"path", $"commit").collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(lake.read(Some(cur - 1)).count() >= 0)
+    intercept[Exception] { lake.snapshot(cur - 2) }
+    // engine continues: next commit lands as cur+1
+    applier.applyBatch(ev.filter($"seq" < 10).withColumn("part", lit("late")), "v-late")
+    assert(lake.currentVersion.get == cur + 1)
+  }
+
   test("distributed interval-index pruning ≡ driver-side reference pruning") {
     val lake = new LakeTable(TestSpark.tmpDir("lakeprune"), spark)
     val applier = new CdcApplier(lake, spark)
