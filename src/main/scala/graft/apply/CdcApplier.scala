@@ -41,12 +41,8 @@ import graft.lake.LakeTable
   *    old files read them as null. Renames are canonicalized upstream
   *    (Repair.canonicalizeRenames), so lake files are always v2-named.
   */
-class CdcApplier(lake: LakeTable, spark: SparkSession) {
+object CdcApplier {
 
-  import spark.implicits._
-
-  /** Columns that never become lake data. */
-  private val metaCols = Set("op", "part", "event_id", "schema_ver", "source")
   private val keyCols = Seq("repo", "path")
 
   /** Standalone in-batch LWW dedup (A3) — exposed as an operator; the
@@ -61,7 +57,8 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
 
   /** Two-phase salted LWW reduce for adversarial hot keys: phase 1
     * reduces (key, salt) subgroups, phase 2 merges the ≤`salts` survivors
-    * per key. Result ≡ [[lwwReduce]] (property-tested). */
+    * per key. Result ≡ [[lwwReduce]] (property-tested + oracle-gated in
+    * q28). */
   def saltedLwwReduce(events: DataFrame, salts: Int): DataFrame = {
     val valueCols = events.columns.filterNot(keyCols.contains)
     val salted = events.withColumn("_salt",
@@ -73,6 +70,22 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
       .agg(max_by(col("r"), struct(col("r.seq"), col("r.commit"))).as("r"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"r.$c").as(c)): _*)
   }
+}
+
+class CdcApplier(lake: LakeTable, spark: SparkSession) {
+
+  import spark.implicits._
+
+  /** Columns that never become lake data. */
+  private val metaCols = Set("op", "part", "event_id", "schema_ver", "source")
+  private val keyCols = Seq("repo", "path")
+
+  /** See [[CdcApplier.lwwReduce]]. */
+  def lwwReduce(events: DataFrame): DataFrame = CdcApplier.lwwReduce(events)
+
+  /** See [[CdcApplier.saltedLwwReduce]]. */
+  def saltedLwwReduce(events: DataFrame, salts: Int): DataFrame =
+    CdcApplier.saltedLwwReduce(events, salts)
 
   /** Apply one micro-batch of canonical change events. Expected columns:
     * repo, path, seq, op, part, commit, lang, content [+ promoted extras].

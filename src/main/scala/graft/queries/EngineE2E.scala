@@ -93,10 +93,25 @@ object EngineE2E {
       sha2(col("content"), 256).as("content_sha"), col("seq"))
   }
 
+  /** q28 — the skew-defense reduce under the oracle gate: the two-phase
+    * salted LWW reduce ([[CdcApplier.saltedLwwReduce]], the hot-key path
+    * the north rule names) over the changelog, which must be
+    * INDISTINGUISHABLE from a plain per-key LWW — the oracle knows
+    * nothing about salt. */
+  def q28SaltedLww(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("content"), col("seq"))
+    CdcApplier.saltedLwwReduce(changes, salts = 16)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"), col("seq"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cdc_engine_replay" -> q22CdcReplay _,
     "q25_lineage_metrics" -> q25Lineage _,
-    "q27_changes_since" -> q27ChangesSince _)
+    "q27_changes_since" -> q27ChangesSince _,
+    "q28_salted_lww" -> q28SaltedLww _)
 
   val oracles: Map[String, String] = Map(
     "q22_cdc_engine_replay" ->
@@ -147,5 +162,16 @@ object EngineE2E {
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         | FROM events)
         |WHERE rn = 1 AND op <> 'DELETE'
-        |  AND seq > (SELECT (2*max(event_id))//3 FROM events)""".stripMargin)
+        |  AND seq > (SELECT (2*max(event_id))//3 FROM events)""".stripMargin,
+    "q28_salted_lww" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1""".stripMargin)
 }

@@ -50,6 +50,34 @@ class PlanSpec extends AnyFunSuite {
       s"LSH must bucket-join, got:\n$p")
   }
 
+  test("q17: signature aggregation is a hash aggregate with map-side combine") {
+    val p = plan("q17_minhash_lsh")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate in:\n$p")
+    assert(p.contains("partial_min"), s"expected map-side partial minima in:\n$p")
+  }
+
+  test("q24: enrichment dimension broadcasts; fact side never shuffles") {
+    val p = plan("q24_lookup_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    // the only exchanges allowed are the dim-side aggregate + broadcast;
+    // the events fact table must not hash-repartition
+    assert(!p.contains("hashpartitioning(event_id") &&
+      !p.contains("hashpartitioning(media_key"),
+      s"fact side must not shuffle in:\n$p")
+  }
+
+  test("q26: deep flatten is one codegen'd projection — no shuffle at all") {
+    val p = plan("q26_deep_flatten")
+    assert(!p.contains("Exchange"), s"nested-path flatten must not shuffle:\n$p")
+    assert(p.contains("*(1)"), s"expected a codegen span in:\n$p")
+  }
+
+  test("q20: multi-probe ANN joins on bucket equality, no cartesian") {
+    val p = plan("q20_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN candidates must come from a bucket equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (q10)") {
     val p = plan("q10_scalar_functions")
     // codegen stages render as "*(n)" in executedPlan.toString
