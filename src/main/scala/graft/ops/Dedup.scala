@@ -207,6 +207,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming_nibbles"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (semantic dedup for a
+    * training corpus): sign-random-projection LSH bucket self-join —
+    * never all-pairs; shuffle keys are bucket ids — then exact verify on
+    * the surviving candidates. Only (id, bucket) rides the candidate
+    * join; vectors re-join for the verify (same shape as [[minhashLsh]]).
+    * The decision is cosine on the INTEGER-quantized grid:
+    * cos_q = qdot / √(‖a‖²·‖b‖²) with every input an exact int64, so
+    * (IEEE-correctly-rounded sqrt + division) it is bit-identical in any
+    * engine — DuckDB-oracle-gated as q29. `probeBits = 1` widens each
+    * row's buckets by all 1-bit flips for recall. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, probeBits: Int = 0): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // three consumers (both join branches + the verify re-join) —
+    // materialize once, recomputable on loss
+    val base = df.select(col(idCol).as("id"),
+        Similarity.quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", Similarity.lshBucketQ(col("qv"), nPlanes, dim))
+      .withColumn("aa", Similarity.qdot(col("qv"), col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = base.select(col("id").as("id_a"),
+      explode(Similarity.probeBuckets(col("bucket"), nPlanes, probeBits)).as("bucket"))
+    val b = base.select(col("id").as("id_b"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val side = base.select(col("id"), col("qv"), col("aa"))
+    pairs
+      .join(side.select(col("id").as("id_a"), col("qv").as("qv_a"), col("aa").as("aa_a")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("qv").as("qv_b"), col("aa").as("aa_b")), Seq("id_b"))
+      .withColumn("qdot", Similarity.qdot(col("qv_a"), col("qv_b")))
+      .withColumn("cos_q",
+        col("qdot").cast("double") / sqrt((col("aa_a") * col("aa_b")).cast("double")))
+      .filter(col("cos_q") >= threshold)
+      .select(col("id_a"), col("id_b"), col("qdot"), col("cos_q"))
+  }
+
   /** Direct n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, k: Int = 5): Column = {
     val sa = TextAnalysis.shingles(a, k)

@@ -121,7 +121,7 @@ object Similarity {
     * knob: 1 + nPlanes probes per query instead of 1 + nPlanes extra
     * hash tables. Probes are distinct by construction and each corpus
     * row lives in exactly one bucket, so no candidate pair duplicates. */
-  private def probeBuckets(bucket: Column, nPlanes: Int, probeBits: Int): Column =
+  private[ops] def probeBuckets(bucket: Column, nPlanes: Int, probeBits: Int): Column =
     if (probeBits <= 0) array(bucket)
     else concat(array(bucket),
       transform(sequence(lit(0), lit(nPlanes - 1)), j =>

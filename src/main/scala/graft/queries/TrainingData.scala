@@ -117,7 +117,14 @@ object TrainingData {
         col("sha"), col("frameCount").as("frame_count"))
   }
 
+  /** q29 — embedding-cosine near-dup pairs (semantic dedup): LSH bucket
+    * self-join, exact integer-grid cosine verify, oracle-gated. */
+  def q29EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(embs(spark, dir), "vec_id", "embedding",
+      threshold = 0.3, nPlanes = 8)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_embedding_neardup" -> q29EmbeddingNearDup _,
     "q11_dedup_exact" -> q11DedupExact _,
     "q12_token_stats" -> q12TokenStats _,
     "q13_langid" -> q13LangId _,
@@ -134,6 +141,30 @@ object TrainingData {
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q29_embedding_neardup" ->
+      """WITH qv AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        | FROM embeddings
+        |), bkt AS (
+        | SELECT vec_id, v,
+        |   CAST(list_sum([ (CASE WHEN list_sum([ v[i+1] *
+        |       (CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(concat(CAST(p AS VARCHAR), '/', CAST(i AS VARCHAR))), 1, 1)) - 1 >= 8
+        |         THEN 1 ELSE -1 END)
+        |     for i in range(0, len(v))]) >= 0 THEN 1 ELSE 0 END) * (2**(7-p))
+        |   for p in range(0, 8)]) AS BIGINT) AS bucket,
+        |   CAST(list_sum([v[i]*v[i] for i in range(1, len(v)+1)]) AS BIGINT) AS aa
+        | FROM qv
+        |), pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   CAST(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) AS BIGINT) AS qdot,
+        |   a.aa AS aa, b.aa AS bb
+        | FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, qdot,
+        |       CAST(qdot AS DOUBLE)/sqrt(CAST(aa*bb AS DOUBLE)) AS cos_q
+        |FROM pairs
+        |WHERE CAST(qdot AS DOUBLE)/sqrt(CAST(aa*bb AS DOUBLE)) >= 0.3""".stripMargin,
     "q11_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
         | count(*) AS dup_cnt

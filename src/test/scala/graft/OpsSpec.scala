@@ -94,6 +94,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup finds planted high-cosine pairs, skips unrelated") {
+    // 0 and 1 are near-identical directions; 2 is orthogonal-ish noise
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(d => math.sin(d * 0.7).toFloat)),
+      (1L, Array.tabulate(16)(d => (math.sin(d * 0.7) * 0.98 + 0.002).toFloat)),
+      (2L, Array.tabulate(16)(d => math.cos(d * 2.3 + 1).toFloat))
+    ) ++ (3 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 7 + d * 1.9).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.contains((0L, 1L)), s"expected planted pair in $pairs")
+    assert(pairs((0L, 1L)) > 0.99)
+    assert(pairs.keys.forall { case (a, b) => !(a == 2L || b == 2L) })
+  }
+
   test("multi-probe LSH ANN: 1-bit probes strictly widen the candidate set and lift recall") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(d => math.cos(i + d * 13).toFloat))
