@@ -115,6 +115,61 @@ object Similarity {
   private def dimOf(df: DataFrame, vecCol: Column): Int =
     df.select(size(vecCol)).head().getInt(0)
 
+  /** Exact integer squared L2 distance between a quantized vector column
+    * and a driver-side centroid row. */
+  private def qdist2(qv: Column, centroid: Seq[Long]): Column =
+    aggregate(zip_with(qv, typedLit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** IVF (inverted-file) coarse cells: centroids are the `nCells`
+    * lowest-id corpus vectors — a deterministic, seedless choice any
+    * engine can mirror (a k-means refinement would drop in here; the
+    * cell/probe mechanics are identical). Assignment takes the least of
+    * `nCells` (distance, cellId) structs against the driver-collected,
+    * metadata-scale centroid table — exact integer L2, ties toward the
+    * lower cell id, no row explosion and no shuffle. Adds `cell`. */
+  private[ops] def ivfAssign(vecs: DataFrame, nCells: Int,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val cellOf = cents.map { case (cid, cv) =>
+      struct(qdist2(col("qv"), cv).as("d"), lit(cid).as("c"))
+    }
+    vecs.withColumn("cell", least(cellOf: _*).getField("c"))
+  }
+
+  /** IVF ANN top-k with exact-integer ranking (oracle-gated as q30):
+    * corpus vectors live in their nearest centroid's cell; each query
+    * probes its `nProbe` nearest cells and ranks candidates by quantized
+    * dot product. Candidates are an equi-join on cell id — never a cross
+    * join; shuffle keys are cell ids. The LSH variant ([[lshTopKQuantized]])
+    * trades this centroid table for hyperplanes; both are scale paths. */
+  def ivfTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents: Seq[(Int, Seq[Long])] = corpus
+      .select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+      .orderBy(col("id")).limit(nCells).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
+    val c = ivfAssign(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv")),
+      nCells, cents)
+      .select(col("neighbor_id"), col("qv"), col("cell"))
+    // per-query probe list: the nProbe nearest centroids by the same
+    // integer distance, ties toward lower cell id
+    val probeOf = array_sort(array(cents.map { case (cid, cv) =>
+      struct(qdist2(col("qq"), cv).as("d"), lit(cid).as("c"))
+    }: _*))
+    val q = queries.select(col("qid"), quantize(col("qvec")).as("qq"))
+      .withColumn("cell",
+        explode(transform(slice(probeOf, 1, nProbe), p => p.getField("c"))))
+    val joined = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("qdot", qdot(col("qv"), col("qq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("qdot"))
+  }
+
   /** Multi-probe bucket list: the query's own bucket plus (for
     * `probeBits = 1`) every bucket at Hamming distance 1 in the
     * hyperplane signature — the standard multi-probe LSH recall/cost

@@ -107,6 +107,17 @@ object TrainingData {
       probeBits = 1)
   }
 
+  /** q30 — ANN second scale path: IVF coarse cells (16 centroids, probe
+    * the 2 nearest per query), exact-integer assignment and ranking,
+    * oracle-gated. */
+  def q30AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopKQuantized(e, "vec_id", "embedding", q, 5,
+      nCells = 16, nProbe = 2)
+  }
+
   /** q21 — multimodal plumbing: opaque binary payload + typed metadata →
     * batched feature extraction via mapPartitions (decode stubbed, the
     * deterministic outputs are oracle-gated). */
@@ -136,6 +147,7 @@ object TrainingData {
     "q19_ann_quantized" -> q19AnnQuantized _,
     "q20_ann_lsh" -> q20AnnLsh _,
     "q21_media_features" -> q21MediaFeatures _,
+    "q30_ann_ivf" -> q30AnnIvf _,
   )
 
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
@@ -313,6 +325,32 @@ object TrainingData {
         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rank, qdot
         | FROM (SELECT qid, neighbor_id, CAST(list_sum([qv2[i]*qq[i] for i in range(1, len(qv2)+1)]) AS BIGINT) AS qdot
         |       FROM c JOIN q USING (bucket) WHERE neighbor_id <> qid))
+        |WHERE rank <= 5""".stripMargin,
+    "q30_ann_ivf" ->
+      """WITH qv AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        | FROM embeddings
+        |), cent AS (SELECT vec_id AS cid, v AS cv FROM qv WHERE vec_id < 16),
+        |dists AS (
+        | SELECT q.vec_id, q.v, c.cid,
+        |   CAST(list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, len(q.v)+1)]) AS BIGINT) AS d
+        | FROM qv q CROSS JOIN cent c
+        |), asgn AS (
+        | SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dists)
+        | WHERE rn = 1
+        |), probes AS (
+        | SELECT vec_id AS qid, v AS qq, cid AS cell FROM (
+        |  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dists
+        |  WHERE vec_id < 10)
+        | WHERE rn <= 2
+        |)
+        |SELECT qid, neighbor_id, rank, qdot FROM (
+        | SELECT qid, neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rank, qdot
+        | FROM (SELECT p.qid, a.vec_id AS neighbor_id,
+        |         CAST(list_sum([a.v[i]*p.qq[i] for i in range(1, len(a.v)+1)]) AS BIGINT) AS qdot
+        |       FROM asgn a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.qid))
         |WHERE rank <= 5""".stripMargin,
     "q21_media_features" ->
       """SELECT doc_id AS media_id,

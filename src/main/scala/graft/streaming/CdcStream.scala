@@ -1,11 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.apply.CdcApplier
 import graft.lake.LakeTable
+
+/** Typed view of a canonical change event (streaming-state API). */
+case class Change(op: String, part: String, repo: String, path: String,
+    commit: String, lang: String, content: String, seq: Long)
+
+/** Per-key streaming state: the winning (seq, commit) — O(16B + commit)
+  * per live key, the minimum that makes LWW order-insensitive. */
+case class KeyState(seq: Long, commit: String)
 
 /** Continuous change-event applier: Structured Streaming tail of the
   * binlog directory → micro-batch MERGE into the lake (the streaming
@@ -55,5 +63,40 @@ object CdcStream {
         applier.applyBatch(batch, s"stream-$id"): Unit
       }
       .start()
+  }
+
+  /** Push-style CDC change feed with CUSTOM STREAMING STATE
+    * (`flatMapGroupsWithState`): per-(repo, path) state holds the
+    * winning (seq, commit); a micro-batch emits a key's row only when
+    * its winner CHANGES — stale/out-of-order re-deliveries are absorbed
+    * silently. This is the push complement of the lake's poll-style
+    * `readSince`: downstream consumers see exactly the net new winners.
+    * State survives restarts via the checkpoint's state store, so the
+    * feed never re-emits across resumes. LWW is order-insensitive, so no
+    * watermark is needed for correctness; state is bounded by live keys
+    * (a TTL timeout would bolt on here for evicting retired keys). */
+  def lwwChangeFeed(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 500): Dataset[Change] = {
+    import spark.implicits._
+    def newer(aSeq: Long, aCommit: String, bSeq: Long, bCommit: String): Boolean =
+      aSeq > bSeq || (aSeq == bSeq && aCommit > bCommit)
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[Change]
+      .groupByKey(c => (c.repo, c.path))
+      .flatMapGroupsWithState[KeyState, Change](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, events: Iterator[Change], state: GroupState[KeyState]) =>
+          val best = events.reduceLeft((a, b) =>
+            if (newer(b.seq, b.commit, a.seq, a.commit)) b else a)
+          val isNew = state.getOption.forall(s =>
+            newer(best.seq, best.commit, s.seq, s.commit))
+          if (isNew) {
+            state.update(KeyState(best.seq, best.commit))
+            Iterator.single(best)
+          } else Iterator.empty
+      }
   }
 }

@@ -134,6 +134,28 @@ class OpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("IVF ANN: probing every cell reproduces exact quantized ranking") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 3 + d * 1.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // nProbe = nCells ⇒ every candidate considered ⇒ ≡ exact brute ranking
+    val full = run(Similarity.ivfTopKQuantized(vecs, "vec_id", "embedding", q, 5,
+      nCells = 8, nProbe = 8))
+    val exact = run(Similarity.quantizedDotTopK(vecs, "vec_id", "embedding", q, 5))
+    assert(full == exact)
+    // partial probing returns valid, correctly-ranked subsets
+    val part = Similarity.ivfTopKQuantized(vecs, "vec_id", "embedding", q, 5,
+      nCells = 8, nProbe = 2).collect()
+    assert(part.nonEmpty)
+    part.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+
   test("multimodal plumbing: batched stub decode, sha + byte counts exact") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val feats = Multimodal.extractFeatures(media).collect()

@@ -52,4 +52,47 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got == oracle)
   }
+
+  test("stateful LWW change feed emits only net-new winners across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = TestSpark.tmpDir("feed-in")
+    val ckDir = TestSpark.tmpDir("feed-ck")
+    def drain(tableSuffix: String): Seq[(String, String, Long)] = {
+      // foreachBatch (checkpoint-recoverable, unlike the memory sink)
+      // collecting this run's emissions only
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+      val q = CdcStream.lwwChangeFeed(spark, inDir).writeStream
+        .queryName(s"feed_$tableSuffix")
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.Change], _: Long) =>
+            b.collect().foreach(c => buf.add((c.repo, c.path, c.seq))): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    def rows(data: Seq[(String, String, Long)]) = data
+      .map { case (repo, path, seq) =>
+        ("UPDATE", "0", repo, path, s"c$seq", "scala", s"content-$seq", seq)
+      }
+      .toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+
+    // wave 1: two keys
+    rows(Seq(("r1", "a", 10L), ("r1", "a", 12L), ("r2", "b", 5L)))
+      .write.mode("append").parquet(inDir)
+    val w1 = drain("w1")
+    assert(w1.toSet == Set(("r1", "a", 12L), ("r2", "b", 5L)))
+
+    // wave 2: one stale event (seq 11 < winner 12), one fresh winner
+    rows(Seq(("r1", "a", 11L), ("r2", "b", 7L)))
+      .write.mode("append").parquet(inDir)
+    val w2 = drain("w2")
+    // the memory table from a NEW query run contains only this run's
+    // emissions: the stale r1 event must be absorbed by restored state
+    assert(w2.toSet == Set(("r2", "b", 7L)))
+  }
 }
