@@ -55,15 +55,21 @@ object TrainingData {
       TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp"))
 
   /** q16 — n-gram Jaccard similarity on adjacent doc pairs (the exact
-    * verify kernel used by the LSH pipeline, oracle-gated). */
+    * verify kernel used by the LSH pipeline, oracle-gated). Shingle sets
+    * are projected once per document BEFORE the self-join — inlining
+    * ngramJaccard(text_a, text_b) after the join shingled every document
+    * twice (once per side it appears on). */
   def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
-      col("text").as("text_b"))
+    val sh = docs(spark, dir).select(col("doc_id"),
+      graft.ops.TextAnalysis.shingles(col("text"), 5).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
     a.join(b, Seq("id_a"))
       .select(col("id_a"), col("id_b"),
-        Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
   /** Shingle-window cost cap for q17: signature + verify shingle only the
