@@ -107,11 +107,42 @@ object EngineE2E {
         sha2(col("content"), 256).as("content_sha"), col("seq"))
   }
 
+  /** q31 — lake maintenance under the oracle gate: fresh 3-batch replay
+    * (own lake — the shared one must stay pristine for q22/q25/q27),
+    * then compact every small file and expire+vacuum all but the last
+    * snapshot. The table state must be byte-identical to the plain
+    * replay (q22's oracle), proving compaction and vacuum are pure
+    * maintenance. */
+  def q31CompactVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val changes = asChanges(ev)
+    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-cv-lake").toString
+    val lake = new LakeTable(lakeDir, spark)
+    val applier = new CdcApplier(lake, spark)
+    val cut1 = maxSeq / 3
+    val cut2 = 2 * maxSeq / 3
+    applier.applyBatch(changes.filter(col("seq") <= cut1), "cv-0")
+    applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "cv-1")
+    applier.applyBatch(changes.filter(col("seq") > cut2), "cv-2")
+    lake.compact(minRows = Long.MaxValue)
+    lake.expireSnapshots(keepLast = 1)
+    val out = lake.read().select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("content_sha"), col("seq"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(lakeDir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cdc_engine_replay" -> q22CdcReplay _,
     "q25_lineage_metrics" -> q25Lineage _,
     "q27_changes_since" -> q27ChangesSince _,
-    "q28_salted_lww" -> q28SaltedLww _)
+    "q28_salted_lww" -> q28SaltedLww _,
+    "q31_compact_vacuum" -> q31CompactVacuum _)
 
   val oracles: Map[String, String] = Map(
     "q22_cdc_engine_replay" ->
@@ -163,6 +194,20 @@ object EngineE2E {
         | FROM events)
         |WHERE rn = 1 AND op <> 'DELETE'
         |  AND seq > (SELECT (2*max(event_id))//3 FROM events)""".stripMargin,
+    "q31_compact_vacuum" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
     "q28_salted_lww" ->
       """SELECT repo, path, commit, lang, content_sha, seq FROM (
         | SELECT concat('r', user_id % 37) AS repo,
