@@ -123,7 +123,12 @@ object Bench {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // sketch queries persist() intermediates they cannot unpersist
+        // themselves; drop them so they don't pin memory under (and leak
+        // plan-matched cache hits into) later queries' timings
+        spark.sharedState.cacheManager.clearCache()
+        (name, sec, err)
       }
 
     // ---- 2. pre-materialize the synthetic binlog once (not timed):
@@ -201,7 +206,10 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+      // strip EVERY JSON-illegal char (all controls, not just \n\r\t —
+      // Catalyst error text can carry \b/\f etc. and would break the
+      // driver's tail-parse)
+      "\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","query_errors":{""", ",", "}")
     val total = results.map(_._2).sum

@@ -43,7 +43,10 @@ import graft.lake.LakeTable
   */
 object CdcApplier {
 
-  private val keyCols = Seq("repo", "path")
+  /** The lake's key columns — single source of truth for the standalone
+    * reduces AND the applyBatch merge (diverging copies would silently
+    * group by different keys). */
+  private[apply] val keyCols = Seq("repo", "path")
 
   /** Standalone in-batch LWW dedup (A3) — exposed as an operator; the
     * apply path folds this into the merge aggregate instead. */
@@ -78,7 +81,7 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
 
   /** Columns that never become lake data. */
   private val metaCols = Set("op", "part", "event_id", "schema_ver", "source")
-  private val keyCols = Seq("repo", "path")
+  private val keyCols = CdcApplier.keyCols
 
   /** See [[CdcApplier.lwwReduce]]. */
   def lwwReduce(events: DataFrame): DataFrame = CdcApplier.lwwReduce(events)

@@ -70,14 +70,19 @@ class LakeTable(val root: String, spark: SparkSession,
 
   // ---- version log ----------------------------------------------------
 
-  def currentVersion: Option[Long] = {
-    val vs = Files.list(metaDir).iterator().asScala
+  /** All manifest versions present on disk, ascending (after
+    * [[expireSnapshots]] this starts at the oldest KEPT version, not 0). */
+  def versions: Seq[Long] = {
+    val s = Files.list(metaDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        Try(s.stripPrefix("v").stripSuffix(".json").toLong).toOption }
-      .flatten.toSeq
-    if (vs.isEmpty) None else Some(vs.max)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption }
+      .flatten.toSeq.sorted
+    finally s.close()
   }
+
+  def currentVersion: Option[Long] = versions.lastOption
 
   def snapshot(version: Long): Snapshot = readManifest(metaDir.resolve(s"v$version.json"), version)
 
@@ -182,8 +187,10 @@ class LakeTable(val root: String, spark: SparkSession,
     val tmp = Paths.get(root, s"stage-$label")
     df.sortWithinPartitions("repo", "path")
       .write.mode("overwrite").parquet(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala
+    val pls = Files.list(tmp)
+    val parts = try pls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally pls.close()
     val conf = spark.sessionState.newHadoopConf()
     // footer reads are independent IO — do them concurrently so commit
     // latency doesn't grow linearly with output-file count
@@ -201,8 +208,10 @@ class LakeTable(val root: String, spark: SparkSession,
       }
     }, Duration.Inf)
     // clean tmp dir remnants (_SUCCESS etc.)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+    val w = Files.walk(tmp)
+    try w.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(p => Try(Files.delete(p)))
+    finally w.close()
     entries.filter(_.rows > 0)
   }
 
@@ -353,7 +362,9 @@ class LakeTable(val root: String, spark: SparkSession,
     val live: Set[String] = (keepFrom to cur)
       .flatMap(v => snapshot(v).files.map(_.path)).toSet
     var dataDeleted = 0
-    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+    val ls = Files.list(dataDir)
+    val dataFiles = try ls.iterator().asScala.toSeq finally ls.close()
+    dataFiles.foreach { p =>
       if (!live.contains(s"data/${p.getFileName}")) {
         if (Try(Files.deleteIfExists(p)).getOrElse(false)) dataDeleted += 1
       }
@@ -455,7 +466,9 @@ class LakeTable(val root: String, spark: SparkSession,
     * log, zero overhead on the commit path. */
   def lineageTable(): DataFrame = {
     import spark.implicits._
-    val rows = (0L to currentVersion.getOrElse(-1L)).map { v =>
+    // iterate manifests that EXIST (expireSnapshots deletes old ones —
+    // versions need not start at 0)
+    val rows = versions.map { v =>
       val s = snapshot(v)
       def g(k: String): Long = s.lineage.getOrElse(k, -1L)
       (v, s.batchId, g("parsed"), g("quarantined"), g("upserts"), g("deletes"),

@@ -84,8 +84,9 @@ object Similarity {
 
   /** Sign-random-projection bucket: `nPlanes`-bit signature of the
     * vector (bit p = sign of Σᵢ v[i]·h(p,i)). Vectors in the same bucket
-    * are ANN candidates. `dim` = embedding dimensionality (vectors
-    * shorter than `dim` yield a null bucket and drop out). */
+    * are ANN candidates. `dim` = embedding dimensionality; a ragged
+    * vector (length ≠ dim) gets a NULL bucket and drops out of the
+    * equi-join rather than polluting bucket 0. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val signs = typedLit(planeSignRow(p, dim).map(_.toDouble))
@@ -93,8 +94,9 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0))
     }
-    bits.zipWithIndex.map { case (b, i) => b * (1 << (nPlanes - 1 - i)) }
+    val packed = bits.zipWithIndex.map { case (b, i) => b * (1 << (nPlanes - 1 - i)) }
       .reduce(_ + _)
+    when(size(vec) === dim, packed)
   }
 
   /** Integer-exact sign-random-projection bucket: same hyperplanes as
@@ -107,8 +109,11 @@ object Similarity {
         lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0))
     }
-    bits.zipWithIndex.map { case (b, i) => b * (1 << (nPlanes - 1 - i)) }
+    val packed = bits.zipWithIndex.map { case (b, i) => b * (1 << (nPlanes - 1 - i)) }
       .reduce(_ + _)
+    // ragged vector → NULL bucket → drops out of the equi-join (a null
+    // projection would otherwise fall through otherwise(0) into bucket 0)
+    when(size(qvec) === dim, packed)
   }
 
   /** Embedding dimensionality probe (one-row driver lookup). */
@@ -126,9 +131,10 @@ object Similarity {
     * engine can mirror (a k-means refinement would drop in here; the
     * cell/probe mechanics are identical). Assignment takes the least of
     * `nCells` (distance, cellId) structs against the driver-collected,
-    * metadata-scale centroid table — exact integer L2, ties toward the
-    * lower cell id, no row explosion and no shuffle. Adds `cell`. */
-  private[ops] def ivfAssign(vecs: DataFrame, nCells: Int,
+    * metadata-scale centroid table (`cents.size` cells) — exact integer
+    * L2, ties toward the lower cell id, no row explosion and no shuffle.
+    * Adds `cell`. */
+  private[ops] def ivfAssign(vecs: DataFrame,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val cellOf = cents.map { case (cid, cv) =>
       struct(qdist2(col("qv"), cv).as("d"), lit(cid).as("c"))
@@ -150,7 +156,7 @@ object Similarity {
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
     val c = ivfAssign(
       corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv")),
-      nCells, cents)
+      cents)
       .select(col("neighbor_id"), col("qv"), col("cell"))
     // per-query probe list: the nProbe nearest centroids by the same
     // integer distance, ties toward lower cell id

@@ -137,6 +137,9 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(got == want)
     assert(lake.read(Some(cur - 1)).count() >= 0)
     intercept[Exception] { lake.snapshot(cur - 2) }
+    // lineage table tolerates the missing early manifests
+    val lin = lake.lineageTable().collect()
+    assert(lin.map(_.getAs[Long]("version")).toSeq == Seq(cur - 1, cur))
     // engine continues: next commit lands as cur+1
     applier.applyBatch(ev.filter($"seq" < 10).withColumn("part", lit("late")), "v-late")
     assert(lake.currentVersion.get == cur + 1)
