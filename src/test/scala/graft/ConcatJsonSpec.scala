@@ -35,4 +35,34 @@ class ConcatJsonSpec extends AnyFunSuite {
     assert(ConcatJson.split("").isEmpty)
     assert(ConcatJson.split("no json here ][ ").isEmpty)
   }
+
+  test("∀ fuzzed blobs: never crashes, recovers every intact document in order") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // garbage that cannot CONSUME a following document: no unpaired '{'
+    // (a stray '{' directly before a doc is legitimately parsed together
+    // with what follows by raw_decode semantics — the reference's cursor
+    // loop does the same)
+    val garbage = Gen.oneOf("", " ", "]}", " junk", "}}", "][ ", "null,",
+      "GARBAGE)", "\"open string ")
+    val doc = for {
+      k <- Gen.alphaLowerStr.map(s => "k" + s.take(6))
+      v <- Gen.oneOf(Gen.choose(-99, 99).map(_.toString),
+        Gen.alphaNumStr.map(s => "\"" + s.take(10) + "\""),
+        Gen.const("""{"n":{"x":[1,2]}}"""))
+    } yield s"""{"$k":$v}"""
+    val blob = for {
+      docs <- Gen.listOfN(8, doc)
+      seps <- Gen.listOfN(9, garbage)
+    } yield (docs,
+      seps.zipAll(docs, "", "").map { case (g, d) => g + d }.mkString)
+    (1 to 50).foreach { i =>
+      val (docs, s) = blob.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val out = ConcatJson.split(s)
+      assert(docs.forall(out.contains), s"seed $i lost a doc; in=$s out=$out")
+      val recovered = out.filter(docs.contains)
+      assert(recovered == docs.filter(out.contains),
+        s"seed $i order broken; in=$s out=$out")
+    }
+  }
 }
