@@ -47,12 +47,21 @@ object TrainingData {
       col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
   }
 
-  /** q15 — document fingerprints (md5-64 + min-shingle). */
-  def q15Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.fingerprint64(col("text")).as("fp64"),
-      TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp"))
+  /** q15 — document fingerprints (md5-64 + min-shingle). The min-shingle
+    * side uses the explode + hash-aggregate shape (codegen'd md5 per
+    * shingle row, map-side-combined min) instead of the interpreted
+    * array lambda; explode_outer keeps NULL-text docs as NULL
+    * fingerprints like the SQL oracle does. */
+  def q15Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fps = d.select(col("doc_id"),
+      TextAnalysis.fingerprint64(col("text")).as("fp64"))
+    val sfp = d.select(col("doc_id"),
+        explode_outer(TextAnalysis.shingles(col("text"), 5)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("s"))).as("shingle_fp"))
+    fps.join(sfp, Seq("doc_id"))
+  }
 
   /** q16 — n-gram Jaccard similarity on adjacent doc pairs (the exact
     * verify kernel used by the LSH pipeline, oracle-gated). Shingle sets
