@@ -14,7 +14,10 @@ import graft.lake.LakeTable
   * reduce) → atomic snapshot commit.
   *
   * Scale design decisions (for the 1000-executor / 10^10-event case):
-  *  - ONE shuffle per batch. The MERGE is not a join: touched base rows ∪
+  *  - ONE data shuffle for the MERGE (plus an optional range-cluster
+  *    exchange before the write — see step 6 — that keeps per-file key
+  *    ranges tight so later batches' copy-on-write stays proportional to
+  *    what they touch). The MERGE is not a join: touched base rows ∪
   *    fenced change events are unioned and reduced by a single hash
   *    aggregate `max_by(row, (seq, commit, isChange))`. That aggregate IS
   *    the in-batch LWW dedup and the cross-batch LWW resolution at once —
@@ -75,7 +78,8 @@ object CdcApplier {
   }
 }
 
-class CdcApplier(lake: LakeTable, spark: SparkSession) {
+class CdcApplier(lake: LakeTable, spark: SparkSession,
+    clusterWrite: Boolean = true, clusterPartitions: Int = 0) {
 
   import spark.implicits._
 
@@ -170,8 +174,25 @@ class CdcApplier(lake: LakeTable, spark: SparkSession) {
         .filter(col("r._op") =!= Op.Delete)
         .select(keyCols.map(col) ++ valueNames.map(c => col(s"r.$c").as(c)): _*)
 
-      // ---- 6. write new files + atomic commit with lineage. ----
-      val newFiles = lake.writeDataFiles(merged, f"b$batchId%s-v")
+      // ---- 6. write new files + atomic commit with lineage. The merged
+      // output leaves the aggregate HASH-partitioned on (repo, path) —
+      // every output file would span nearly the whole repo keyspace and
+      // file-range pruning would degrade to rewrite-everything for every
+      // later sparse batch. Range-repartitioning by key before the write
+      // gives each data file a TIGHT disjoint (repo, path) range, so a
+      // future batch touching k repos rewrites O(k/keyspace) of the
+      // table, not all of it — worth the second exchange (Iceberg users
+      // sort/cluster on write for exactly this reason). AQE sizes the
+      // range partitions; skewed repos are balanced by the sampler. ----
+      // clusterPartitions = 0 lets AQE size the range partitions; an
+      // explicit count pins the output file count (AQE won't coalesce a
+      // user-specified numPartitions)
+      val clustered =
+        if (!clusterWrite) merged
+        else if (clusterPartitions > 0)
+          merged.repartitionByRange(clusterPartitions, col("repo"), col("path"))
+        else merged.repartitionByRange(col("repo"), col("path"))
+      val newFiles = lake.writeDataFiles(clustered, f"b$batchId%s-v")
       val rowsBefore = snap.map(_.files.map(_.rows).sum).getOrElse(0L)
       val rowsAfter = (retained ++ newFiles).map(_.rows).sum
       lake.commit(batchId, newOffsets, evolved, retained, newFiles, Map(

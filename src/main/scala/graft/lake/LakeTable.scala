@@ -301,7 +301,11 @@ class LakeTable(val root: String, spark: SparkSession,
     if (small.size < 2) return None
     val df = spark.read.schema(snap.schema)
       .parquet(small.map(f => Paths.get(root, f.path).toString): _*)
-    val sized = if (shufflePartitions > 0) df.repartition(shufflePartitions, col("repo")) else df.coalesce(1)
+    // range-cluster (not hash): compacted files get tight disjoint key
+    // ranges, which is what keeps future CoW merges cheap
+    val sized = if (shufflePartitions > 0)
+      df.repartitionByRange(shufflePartitions, col("repo"), col("path"))
+    else df.coalesce(1)
     val added = writeDataFiles(sized, s"compact-v${snap.version + 1}")
     Some(commit(s"compact-${snap.version + 1}", Map.empty, snap.schema, keep, added,
       Map("compactedFiles" -> small.size.toLong, "rowsAfter" -> snap.files.map(_.rows).sum)))

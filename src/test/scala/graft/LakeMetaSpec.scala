@@ -145,6 +145,27 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(lake.currentVersion.get == cur + 1)
   }
 
+  test("range-clustered writes keep copy-on-write localized to touched repos") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakecluster"), spark)
+    // pin 4 output files (AQE would coalesce this tiny batch to one)
+    val applier = new CdcApplier(lake, spark, clusterPartitions = 4)
+    // one batch over MANY repos in hash-arbitrary order → several files
+    val wide = (0 until 800).map { i =>
+      ("UPDATE", (i % 4).toString, f"repo-${(i * 37) % 100}%03d", s"p${i % 20}",
+        s"c$i", "scala", s"content-$i", i.toLong)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    applier.applyBatch(wide, "wide-0")
+    val snap = lake.currentSnapshot.get
+    assert(snap.files.size >= 2, "need multiple files to show pruning")
+    // a clustered layout gives files DISJOINT-ish tight ranges: a batch
+    // touching one repo must leave most files untouched (a hash-
+    // partitioned write would put every repo range in every file)
+    val (touched, retained) = lake.pruneFiles(snap, Set("repo-001"))
+    assert(touched.size < snap.files.size,
+      s"expected localized CoW, but ${touched.size}/${snap.files.size} touched")
+    assert(retained.nonEmpty)
+  }
+
   test("distributed interval-index pruning ≡ driver-side reference pruning") {
     val lake = new LakeTable(TestSpark.tmpDir("lakeprune"), spark)
     val applier = new CdcApplier(lake, spark)
