@@ -54,7 +54,7 @@ object CdcApplier {
   /** Standalone in-batch LWW dedup (A3) — exposed as an operator; the
     * apply path folds this into the merge aggregate instead. */
   def lwwReduce(events: DataFrame): DataFrame = {
-    val valueCols = events.columns.filterNot(keyCols.contains)
+    val valueCols = events.columns.filterNot(keyCols.contains).toSeq
     events.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*),
         struct(col("seq"), col("commit"))).as("r"))
@@ -66,7 +66,7 @@ object CdcApplier {
     * per key. Result ≡ [[lwwReduce]] (property-tested + oracle-gated in
     * q28). */
   def saltedLwwReduce(events: DataFrame, salts: Int): DataFrame = {
-    val valueCols = events.columns.filterNot(keyCols.contains)
+    val valueCols = events.columns.filterNot(keyCols.contains).toSeq
     val salted = events.withColumn("_salt",
       pmod(xxhash64(col("commit"), col("seq")), lit(salts)))
     val phase1 = salted.groupBy((keyCols :+ "_salt").map(col): _*)
@@ -151,7 +151,7 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       // ---- 5. MERGE: union + one LWW hash-agg (no join, ONE shuffle;
       // subsumes in-batch dedup). ----
       def conform(df: DataFrame, isChange: Boolean): DataFrame = {
-        val cols = evolved.fields.map { f =>
+        val cols = evolved.fields.toSeq.map { f =>
           if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         } ++ Seq(
@@ -167,7 +167,7 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       val unioned = base.map(b => conform(b, isChange = false)
         .unionByName(conform(fenced, isChange = true)))
         .getOrElse(conform(fenced, isChange = true))
-      val valueNames = evolved.fieldNames.filterNot(keyCols.contains)
+      val valueNames = evolved.fieldNames.toSeq.filterNot(keyCols.contains)
       val merged = unioned.groupBy(keyCols.map(col): _*)
         .agg(max_by(struct((valueNames :+ "_op").map(col) :+ col("_isChange"): _*),
           struct(col("seq"), col("commit"), col("_isChange"))).as("r"))

@@ -233,7 +233,7 @@ class LakeTable(val root: String, spark: SparkSession,
         rows += b.getRowCount
         b.getColumns.asScala.foreach { c =>
           val colName = c.getPath.toDotString
-          val st = c.getStatistics
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (st != null && st.hasNonNullValue) {
             def str(v: Any): String = v match {
               case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
