@@ -1,0 +1,12 @@
+package graft.tools
+
+/** Dev smoke for the driver's first gate: SparkEntry.entry rows > 0. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.session(8)
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"ENTRY_ROWS=$n")
+    require(n > 0, "entry must return rows")
+    spark.stop()
+  }
+}
