@@ -65,6 +65,27 @@ object CdcStream {
       .start()
   }
 
+  /** Event-time windowed op-mix metrics with a WATERMARK (the streaming
+    * face of the lineage roll-up, ≙ the reference's hourly Kibana view of
+    * PROFILER counts): tumbling windows over the event time derived from
+    * `seq` (epoch-ms commit sequence), counting ops per window. The
+    * watermark bounds state: a window closes `lateness` after the max
+    * event time seen, and events older than that are dropped —
+    * acceptable for METRICS only; the apply path needs no watermark
+    * because LWW by seq makes the TABLE order-insensitive (late data
+    * lands correctly there no matter how late). */
+  def windowedOpCounts(spark: SparkSession, inputDir: String,
+      windowLen: String = "1 hour", lateness: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .withColumn("event_time", timestamp_millis(col("seq")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("op"))
+      .count()
+  }
+
   /** Push-style CDC change feed with CUSTOM STREAMING STATE
     * (`flatMapGroupsWithState`): per-(repo, path) state holds the
     * winning (seq, commit); a micro-batch emits a key's row only when

@@ -95,4 +95,42 @@ class StreamingSpec extends AnyFunSuite {
     // emissions: the stale r1 event must be absorbed by restored state
     assert(w2.toSet == Set(("r2", "b", 7L)))
   }
+
+  test("windowed op counts: watermark closes old windows and drops too-late events") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = TestSpark.tmpDir("win-in")
+    val ckDir = TestSpark.tmpDir("win-ck")
+    val H = 3600L * 1000 // one hour of event time in ms (seq is epoch-ms)
+    def rows(seqs: Seq[Long]) = seqs.zipWithIndex.map { case (s, i) =>
+      ("UPDATE", "0", s"r$i", s"p$i", s"c$s-$i", "scala", "x", s)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    def drain(): Seq[(java.sql.Timestamp, String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Timestamp, String, Long)]()
+      val q = CdcStream.windowedOpCounts(spark, inDir).writeStream
+        .outputMode("append") // append: a window emits once, when closed
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => buf.add((
+            r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2)))): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    // wave 1: three hour-0 events + one hour-3 event → watermark 3h-2h=1h
+    rows(Seq(1000L, 2000L, 3000L, 3 * H)).write.mode("append").parquet(inDir)
+    val w1 = drain()
+    // wave 2: a TOO-LATE hour-0 event (behind the 1h watermark — must be
+    // dropped) plus an hour-5 event
+    rows(Seq(4000L, 5 * H)).write.mode("append").parquet(inDir)
+    val w2 = drain()
+    val hour0 = (w1 ++ w2).filter(_._1.getTime == 0L)
+    assert(hour0.nonEmpty, s"hour-0 window never closed: w1=$w1 w2=$w2")
+    // count = the 3 on-time events; the late 4th was dropped by the
+    // watermark, and the window emitted exactly once (append semantics)
+    assert(hour0 == Seq((new java.sql.Timestamp(0L), "UPDATE", 3L)),
+      s"got $hour0")
+  }
 }
