@@ -294,8 +294,20 @@ class LakeTable(val root: String, spark: SparkSession,
     * fresh right-sized files (keyed-sorted, tight stats), keep the rest.
     * Table state is unchanged — pure maintenance, committed as its own
     * snapshot. At 100 TB this is the job that keeps CoW MERGE cheap:
-    * file count bounds both manifest size and merge read amplification. */
-  def compact(minRows: Long, shufflePartitions: Int = 0): Option[Long] = {
+    * file count bounds both manifest size and merge read amplification.
+    *
+    * Output sizing — always a RANGE repartition on (repo, path), the same
+    * clustering as the applier's write path, so compacted files keep
+    * tight disjoint key ranges and file pruning stays effective:
+    *  - `shufflePartitions = 0` (default): AQE sizes the range partitions
+    *    to its advisory byte target — a whole-table compact is a parallel
+    *    many-file rewrite, never a one-task funnel;
+    *  - `shufflePartitions > 0`: pinned output file count (AQE does not
+    *    coalesce a user-specified partition count);
+    *  - `singleFile = true`: explicit `coalesce(1)` for a KNOWN-tiny
+    *    table (the only case where one task is the right plan). */
+  def compact(minRows: Long, shufflePartitions: Int = 0,
+      singleFile: Boolean = false): Option[Long] = {
     val snap = currentSnapshot.getOrElse(return None)
     val (small, keep) = snap.files.partition(_.rows < minRows)
     if (small.size < 2) return None
@@ -303,9 +315,11 @@ class LakeTable(val root: String, spark: SparkSession,
       .parquet(small.map(f => Paths.get(root, f.path).toString): _*)
     // range-cluster (not hash): compacted files get tight disjoint key
     // ranges, which is what keeps future CoW merges cheap
-    val sized = if (shufflePartitions > 0)
-      df.repartitionByRange(shufflePartitions, col("repo"), col("path"))
-    else df.coalesce(1)
+    val sized =
+      if (singleFile) df.coalesce(1)
+      else if (shufflePartitions > 0)
+        df.repartitionByRange(shufflePartitions, col("repo"), col("path"))
+      else df.repartitionByRange(col("repo"), col("path"))
     val added = writeDataFiles(sized, s"compact-v${snap.version + 1}")
     Some(commit(s"compact-${snap.version + 1}", Map.empty, snap.schema, keep, added,
       Map("compactedFiles" -> small.size.toLong, "rowsAfter" -> snap.files.map(_.rows).sum)))
@@ -361,9 +375,12 @@ class LakeTable(val root: String, spark: SparkSession,
     * commit. */
   def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val cur = currentVersion.getOrElse(return (0, 0))
+    val vs = versions
+    val cur = vs.lastOption.getOrElse(return (0, 0))
     val keepFrom = math.max(0L, cur - keepLast + 1)
-    val live: Set[String] = (keepFrom to cur)
+    // iterate only manifests that EXIST: an earlier expire with a smaller
+    // keepLast may already have deleted versions inside (keepFrom, cur)
+    val live: Set[String] = vs.filter(_ >= keepFrom)
       .flatMap(v => snapshot(v).files.map(_.path)).toSet
     var dataDeleted = 0
     val ls = Files.list(dataDir)
@@ -374,7 +391,7 @@ class LakeTable(val root: String, spark: SparkSession,
       }
     }
     var metaDeleted = 0
-    (0L until keepFrom).foreach { v =>
+    vs.filter(_ < keepFrom).foreach { v =>
       if (Try(Files.deleteIfExists(metaDir.resolve(s"v$v.json"))).getOrElse(false))
         metaDeleted += 1
     }

@@ -76,10 +76,16 @@ object Dedup {
     * N chars of the text (0 = full text) — a cost/recall knob the caller
     * chooses explicitly, mirrored in the DuckDB oracle.
     *
-    * The tiny (id, band, bucket) relation is persisted MEMORY_AND_DISK
-    * (recomputable on loss — unlike an eager localCheckpoint it survives
-    * executor death at scale) because both self-join branches consume it;
-    * otherwise the signature projection runs twice. */
+    * The (id, band, bucket) relation feeds both self-join branches, but
+    * needs no persist: the two branches shuffle the IDENTICAL subplan on
+    * the identical keys, so exchange/stage reuse computes the signature
+    * once and reads the shuffle output twice (no pinned cache blocks left
+    * behind in long-lived sessions). The verify stage is semi-joined to
+    * the surviving candidate ids BEFORE shingling, so its shuffle is
+    * O(candidates), never O(corpus) — when candidates ≈ 0 the verify is
+    * free. AQE turns the semi-join into a broadcast at runtime when the
+    * candidate set is small (the common case) without risking an OOM hint
+    * on an adversarial all-dup corpus. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.6, prefixChars: Int = 0): DataFrame = {
@@ -111,14 +117,18 @@ object Dedup {
               .map(h => col(s"h$h").cast("string")): _*)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = df.select(col(idCol).as("id"), TextAnalysis.shingles(txt, k).as("sh"))
+    // verify cost O(candidates): shingle only docs appearing in a pair
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), txt.as("_txt"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), TextAnalysis.shingles(col("_txt"), k).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

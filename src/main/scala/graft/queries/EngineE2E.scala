@@ -36,11 +36,14 @@ object EngineE2E {
     * surfaces (final state / lineage / change feed) of the same 3-batch
     * apply, so the engine replays once per Verify/Bench process instead
     * of once per query. The temp lake lives until JVM exit. */
+  // keyed on the session OBJECT (not its identity hash, which can be
+  // reused after GC): entries pin their session, but the temp lakes are
+  // JVM-lifetime by design anyway
   private val lakes =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (LakeTable, Long)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LakeTable, Long)]
 
   private def replayedLake(spark: SparkSession, dir: String): (LakeTable, Long) =
-    lakes.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    lakes.getOrElseUpdate((spark, dir), {
       val ev = spark.read.parquet(s"$dir/events.parquet")
       val changes = asChanges(ev)
       val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)

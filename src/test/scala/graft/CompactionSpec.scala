@@ -47,4 +47,39 @@ class CompactionSpec extends AnyFunSuite {
     // offsets unchanged — compaction never moves the resume point:
     assert(lake.committedOffsets == lake.snapshot(vPre).offsets)
   }
+
+  test("whole-table compact is a parallel multi-file rewrite with disjoint key ranges") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakecompactmulti"), spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = ChangeLogGen.events(spark, 2000, 29L)
+      .filter(lower($"source") === "app.change.log")
+      .withColumn("grp", (substring($"repo", 6, 4).cast("int") / 25).cast("long"))
+      .withColumn("part", concat($"grp", lit("-"), $"part"))
+      .select($"grp", $"op", $"part", $"repo", $"path", $"commit", $"lang",
+        $"content", $"seq")
+    (0 until 4).foreach { b =>
+      applier.applyBatch(ev.filter($"grp" === b).drop("grp"), s"m-$b")
+    }
+    val before = lake.read().select($"repo", $"path", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    // pinned partition count stands in for AQE's byte-target sizing (the
+    // default), which would coalesce this tiny table to one partition —
+    // the assertion is about the PLAN SHAPE: a whole-table compact must
+    // be able to write many files, never a forced one-task funnel
+    assert(lake.compact(minRows = Long.MaxValue, shufflePartitions = 3).nonEmpty)
+    val files = lake.currentSnapshot.get.files
+    assert(files.size > 1, s"expected a multi-file compact, got ${files.size}")
+    // range clustering ⇒ per-file REPO ranges are disjoint up to the
+    // boundary repo (a repo may straddle a boundary, split on path; the
+    // composite minKey/maxKey stats are per-column and thus conservative)
+    val sorted = files.sortBy(_.minRepo)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxRepo <= b.minRepo,
+        s"overlapping compacted repo ranges: ${a.maxRepo} > ${b.minRepo}")
+      case _ => ()
+    }
+    val after = lake.read().select($"repo", $"path", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
 }

@@ -145,6 +145,26 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(lake.currentVersion.get == cur + 1)
   }
 
+  test("expireSnapshots survives a previous deeper expire (gap in kept versions)") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakevac2"), spark)
+    val applier = new CdcApplier(lake, spark)
+    val ev = ChangeLogGen.events(spark, 800, 23L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    (0 until 4).foreach { b =>
+      applier.applyBatch(ev.filter($"seq" >= b * 200 && $"seq" < (b + 1) * 200), s"g-$b")
+    }
+    // expire(keepLast=1) at v3 deletes v0..v2; then commit v4; a second
+    // expire(keepLast=3) must NOT try to read the already-deleted v2.json
+    lake.expireSnapshots(keepLast = 1)
+    applier.applyBatch(ev.filter($"seq" < 5).withColumn("part", lit("again")), "g-again")
+    val want = lake.read().select($"repo", $"path", $"commit").collect().map(_.toSeq).toSet
+    val (metaGone, _) = lake.expireSnapshots(keepLast = 3) // window reaches into the gap
+    assert(metaGone == 0) // only v3 and v4 exist, both inside the window
+    val got = lake.read().select($"repo", $"path", $"commit").collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("range-clustered writes keep copy-on-write localized to touched repos") {
     val lake = new LakeTable(TestSpark.tmpDir("lakecluster"), spark)
     // pin 4 output files (AQE would coalesce this tiny batch to one)

@@ -56,6 +56,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), s"expected map-side partial minima in:\n$p")
   }
 
+  test("q17: verify stage shingles only candidates (left-semi), signature exchange reused") {
+    val p = plan("q17_minhash_lsh")
+    assert(p.contains("LeftSemi"),
+      s"verify must semi-join to surviving candidates before shingling:\n$p")
+  }
+
   test("q24: enrichment dimension broadcasts; fact side never shuffles") {
     val p = plan("q24_lookup_enrich")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
