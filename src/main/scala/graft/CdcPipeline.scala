@@ -32,25 +32,43 @@ object CdcPipeline {
 
   /** Process one batch of raw concatenated-JSON blobs into the lake.
     * `promote` names payload fields to lift into lake columns (schema
-    * evolution). Returns (committedVersion, quarantined DataFrame). */
+    * evolution); `registry` switches validation from the global rule set
+    * to per-(service, kind) dispatch ([[Validate.routeByClass]]) — the
+    * reference's per-`{service}_{type}` Cerberus-schema selection.
+    * Returns (committedVersion, quarantined DataFrame). */
   def processBlobs(spark: SparkSession, blobs: Dataset[String], lake: LakeTable,
-      batchId: String, promote: Seq[String] = Nil): (Long, DataFrame) = {
+      batchId: String, promote: Seq[String] = Nil,
+      registry: Option[Validate.RuleRegistry] = None): (Long, DataFrame) = {
     // NOTE on parallelism: blobs are coarse (a blob ≈ one Firehose file),
     // so decode concurrency is governed by the SOURCE partitioning —
     // size `spark.sql.files.maxPartitionBytes` so the scan yields at
     // least one split per core (a shuffle here would double-handle the
     // raw bytes; tuning the scan split size is free).
-    val decoded = ConcatJson.decodeTyped(blobs).toDF()
+    val raw = ConcatJson.decodeTyped(blobs).toDF()
       .withColumn("_corrupt", when(col("corrupt"), col("raw")))
-      // schema-variant resolution (P5): v2 explicit wins, v1 composite
-      // "<commit>#<lang>" is the fallback (`data_profiling.py:73-86`)
+    // schema-variant resolution (P5): v2 explicit wins, v1 composite
+    // "<commit>#<lang>" is the fallback (`data_profiling.py:73-86`)
+    def resolve(df: DataFrame): DataFrame = df
       .withColumn("commit", coalesce(col("commit"),
         when(col("commit_lang").contains("#"),
           substring_index(col("commit_lang"), "#", 1))))
       .withColumn("lang", coalesce(col("lang"),
         when(col("commit_lang").contains("#"),
           element_at(split(col("commit_lang"), "#"), -1))))
-    val (clean, dirty) = Validate.route(decoded)
+    // registry dispatch validates the RAW wire shape (variants reason
+    // about commit_lang vs commit/lang); the global rule set validates
+    // post-resolution, where `commit` is already coalesced. The global
+    // path observes per-rule violation counts in the batch's own jobs
+    // (zero extra passes) and commits them into the snapshot's lineage.
+    val (clean, dirty, obsOpt) = registry match {
+      case Some(reg) =>
+        val (c, d) = Validate.routeByClass(raw, reg)
+        (resolve(c), d, None)
+      case None =>
+        val (c, d, obs) = Validate.routeObserved(resolve(raw),
+          name = s"validation-$batchId-${java.util.UUID.randomUUID()}")
+        (c, d, Some(obs))
+    }
     val events =
       if (promote.isEmpty)
         clean.select((Seq("op", "part") ++ canonical).map(col): _*)
@@ -64,7 +82,9 @@ object CdcPipeline {
           promote.map(f => col(s"payload.$f").as(f)): _*)
       }
     val applier = new CdcApplier(lake, spark)
-    val version = applier.applyBatch(events, batchId)
+    val version = applier.applyBatch(events, batchId,
+      lineageExtras = () =>
+        obsOpt.map(Validate.observedLineage).getOrElse(Map.empty))
     (version, dirty)
   }
 

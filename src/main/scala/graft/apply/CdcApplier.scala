@@ -96,9 +96,14 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
 
   /** Apply one micro-batch of canonical change events. Expected columns:
     * repo, path, seq, op, part, commit, lang, content [+ promoted extras].
-    * Returns the committed snapshot version. */
+    * `lineageExtras` is evaluated AFTER the merge write and folded into
+    * the snapshot's lineage map — the hook that lets `df.observe` metrics
+    * collected during this batch's own jobs (per-rule validation counts,
+    * `Validate.routeObserved`) land in the committed manifest with zero
+    * extra passes. Returns the committed snapshot version. */
   def applyBatch(events: DataFrame, batchId: String,
-      parsedCount: Long = -1, quarantinedCount: Long = -1): Long = {
+      parsedCount: Long = -1, quarantinedCount: Long = -1,
+      lineageExtras: () => Map[String, Long] = () => Map.empty): Long = {
 
     // ---- 1. offsets fence: drop events at-or-below the committed
     // high-watermark of their source partition (exactly-once resume). ----
@@ -198,7 +203,7 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       lake.commit(batchId, newOffsets, evolved, retained, newFiles, Map(
         "parsed" -> parsedCount, "quarantined" -> quarantinedCount,
         "upserts" -> upserts, "deletes" -> deletes,
-        "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter))
+        "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras())
     } finally fenced.unpersist()
   }
 }

@@ -498,4 +498,22 @@ class LakeTable(val root: String, spark: SparkSession,
     rows.toDF("version", "batch_id", "parsed", "quarantined", "upserts",
       "deletes", "rows_before", "rows_after")
   }
+
+  /** Per-rule validation counters, one row per (version, batch, rule) —
+    * the fine-grained companion of [[lineageTable]]. Counts are observed
+    * during the batch's OWN write job (`df.observe` CollectMetrics via a
+    * QueryExecutionListener — `Validate.routeObserved`), committed in the
+    * manifest under `rule.<name>` keys: the reference's per-event
+    * PROFILER → ES roll-up (`data_profiling.py:180-189`,
+    * `process_logs.py:140-167`) as a queryable table with no second
+    * pass over the data. */
+  def lineageRules(): DataFrame = {
+    import spark.implicits._
+    val rows = versions.flatMap { v =>
+      val s = snapshot(v)
+      s.lineage.collect { case (k, n) if k.startsWith("rule.") =>
+        (v, s.batchId, k.stripPrefix("rule."), n) }
+    }
+    rows.toDF("version", "batch_id", "rule", "violations")
+  }
 }

@@ -140,7 +140,62 @@ object EngineE2E {
     out
   }
 
+  /** q32 — per-rule observability under the oracle gate (the VERDICT-r2
+    * `df.observe` + QueryExecutionListener ask): a 2-batch replay whose
+    * changelog deterministically violates two validation rules
+    * (wrong-source slice, missing content on upserts); the per-rule
+    * violation counts are observed inside each batch's own jobs
+    * ([[graft.validate.Validate.routeObserved]]) and committed into the
+    * snapshot lineage; output = the [[LakeTable.lineageRules]] side-table.
+    * The oracle recomputes every (batch, rule) count — including the
+    * all-zero rules — independently in SQL. */
+  def q32ObservedRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.validate.Validate
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+    val changes = ev.select(
+      concat(lit("ev-"), col("event_id").cast("string")).as("event_id"),
+      when(col("event_type") === "error", lit("DELETE"))
+        .when(col("event_type") === "signup", lit("INSERT"))
+        .otherwise(lit("UPDATE")).as("op"),
+      pmod(col("user_id"), lit(4)).cast("string").as("part"),
+      concat(lit("r"), pmod(col("user_id"), lit(37)).cast("string")).as("repo"),
+      concat(lit("p"), col("user_id").cast("string")).as("path"),
+      md5(concat(lit("c"), col("event_id").cast("string"))).as("commit"),
+      col("event_type").as("lang"),
+      when(pmod(col("event_id"), lit(41)) === 0, lit(null).cast("string"))
+        .otherwise(col("props")).as("content"),
+      col("event_id").as("seq"),
+      when(pmod(col("user_id"), lit(50)) === 0, lit("other.system"))
+        .otherwise(lit("app.change.log")).as("source"),
+      lit(null).cast("string").as("_corrupt"),
+      lit("{}").as("raw"))
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-obs-lake").toString
+    val lake = new LakeTable(lakeDir, spark)
+    val applier = new CdcApplier(lake, spark)
+    val canonical = Seq("op", "part", "repo", "path", "commit", "lang",
+      "content", "seq").map(col)
+    Seq(0, 1).foreach { b =>
+      val slice =
+        if (b == 0) changes.filter(col("seq") <= mx / 2)
+        else changes.filter(col("seq") > mx / 2)
+      val (clean, _, obs) = Validate.routeObserved(slice,
+        name = s"obs-$b-${java.util.UUID.randomUUID()}")
+      applier.applyBatch(clean.select(canonical: _*), s"obs-$b",
+        lineageExtras = () => Validate.observedLineage(obs))
+    }
+    val out = lake.lineageRules()
+      .select(col("batch_id"), col("rule"), col("violations"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(lakeDir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_observed_rules" -> q32ObservedRules _,
     "q22_cdc_engine_replay" -> q22CdcReplay _,
     "q25_lineage_metrics" -> q25Lineage _,
     "q27_changes_since" -> q27ChangesSince _,
@@ -148,6 +203,34 @@ object EngineE2E {
     "q31_compact_vacuum" -> q31CompactVacuum _)
 
   val oracles: Map[String, String] = Map(
+    "q32_observed_rules" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |e AS (SELECT event_id, user_id,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        CASE WHEN event_id <= (SELECT mx//2 FROM m)
+        |             THEN 'obs-0' ELSE 'obs-1' END AS b
+        |      FROM events),
+        |nz AS (
+        | SELECT b, 'wrong_source' AS rule,
+        |        CAST(sum(CASE WHEN user_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        | FROM e GROUP BY b
+        | UNION ALL
+        | SELECT b, 'missing_content',
+        |        CAST(sum(CASE WHEN event_id % 41 = 0 AND op <> 'DELETE' THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM e GROUP BY b),
+        |z AS (
+        | SELECT bb.b, r.rule, CAST(0 AS BIGINT) AS violations
+        | FROM (SELECT DISTINCT b FROM e) bb,
+        |      (VALUES ('corrupt_json'),('missing_event_id'),('missing_op'),
+        |              ('op_not_in_enum'),('missing_seq'),('negative_seq'),
+        |              ('missing_repo'),('missing_path'),('unresolvable_commit'),
+        |              ('missing_part')) r(rule))
+        |SELECT batch_id, rule, violations FROM (
+        | SELECT b AS batch_id, rule, violations FROM nz
+        | UNION ALL
+        | SELECT b AS batch_id, rule, violations FROM z)""".stripMargin,
     "q22_cdc_engine_replay" ->
       """SELECT repo, path, commit, lang, content_sha, seq FROM (
         | SELECT concat('r', user_id % 37) AS repo,

@@ -217,10 +217,11 @@ object Relational {
   }
 
   /** q24 — lookup-enrichment join (R6/J1, the reference's most intricate
-    * transform, `flat_jsons.py:139-183`) under the oracle gate:
-    * first-match-wins pick (O3: min per key), miss-keeps-original-id
-    * (coalesce fallback), and the ADD_TAG null-out branch (here: 'click'
-    * events get their media URI nulled). Dimension is broadcast — the
+    * transform, `flat_jsons.py:139-183`) under the oracle gate. The full
+    * semantics — first-match-wins min pick, miss-keeps-original-id, the
+    * ADD_TAG null-out branch ('click' events here), per-event multi-match
+    * count — live in [[graft.repair.Repair.enrichUri]]; this is a thin
+    * wrapper naming the key and the tag predicate. Dimension broadcast,
     * containment lookup recast as a hash equi-join on a pre-split key. */
   def q24LookupEnrich(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -231,11 +232,9 @@ object Relational {
       .select(($"c_custkey" % 25).as("lookup_key"),
         concat(lit("s3://media/"), $"c_name").as("uri"))
       .filter($"lookup_key" < 20) // keys 20-24 miss → original id kept
-    graft.repair.Repair.enrichUri(ev, dim, col("media_key"))
-      .select($"event_id", $"media_key",
-        when($"event_type" === "click", lit(null).cast("string"))
-          .otherwise(coalesce($"uri",
-            concat(lit("id:"), $"media_key".cast("string")))).as("uri_final"))
+    graft.repair.Repair.enrichUri(ev, dim, col("media_key"),
+        isTagEvent = $"event_type" === "click")
+      .select($"event_id", $"media_key", $"uri".as("uri_final"), $"uri_matches")
   }
 
   /** q26 — deep-nested flatten (P6 at reference fidelity,
@@ -283,11 +282,14 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q24_lookup_enrich" ->
       """WITH dim AS (
-        | SELECT c_custkey % 25 AS lookup_key, min('s3://media/' || c_name) AS uri
+        | SELECT c_custkey % 25 AS lookup_key, min('s3://media/' || c_name) AS uri,
+        |        CAST(count(*) AS BIGINT) AS matches
         | FROM customer WHERE c_custkey % 25 < 20 GROUP BY 1)
         |SELECT event_id, user_id % 25 AS media_key,
         | CASE WHEN event_type = 'click' THEN NULL
-        |      ELSE coalesce(uri, 'id:' || CAST(user_id % 25 AS VARCHAR)) END AS uri_final
+        |      ELSE coalesce(uri, CAST(user_id % 25 AS VARCHAR)) END AS uri_final,
+        | CASE WHEN event_type = 'click' THEN CAST(NULL AS BIGINT)
+        |      ELSE coalesce(matches, 0) END AS uri_matches
         |FROM events LEFT JOIN dim ON user_id % 25 = lookup_key""".stripMargin,
     "q26_deep_flatten" ->
       """SELECT event_id, user_id AS uid, event_type AS svc,

@@ -64,16 +64,37 @@ object Repair {
     payload.withField("description",
       coalesce(payload.getField("description"), payload.getField("descr")))
 
-  /** R6 analog (`flat_jsons.py:139-183`): lookup enrichment against a
-    * small dimension — reference does substring containment against a
-    * media-key listing, first match wins, miss keeps the original. At
-    * scale this is a broadcast equi-join on a pre-split key (never a
-    * nested-loop containment join). `dim(lookup_key, uri)`. */
-  def enrichUri(events: DataFrame, dim: DataFrame, eventKey: Column): DataFrame = {
-    val picked = dim.groupBy(col("lookup_key"))
-      .agg(min(col("uri")).as("uri")) // deterministic first-match (O3: min)
+  /** R6 at full reference fidelity (`flat_jsons.py:139-183`), inside the
+    * operator rather than query wiring:
+    *  - lookup against a small dimension `dim(lookup_key, uri)`: a
+    *    broadcast hash EQUI-join on a pre-split key (the reference's
+    *    substring-containment listing scan recast — never a nested-loop
+    *    theta join);
+    *  - first-match-wins pick (`media_uri_value[0]`, `flat_jsons.py:174`
+    *    ≙ deterministic min — O3);
+    *  - miss keeps the ORIGINAL id (`flat_jsons.py:165-170`);
+    *  - tag events (≙ `type == "ADD_TAG"`) skip the lookup and null the
+    *    enrichment target instead (`flat_jsons.py:176-181`);
+    *  - multi-match observability (`flat_jsons.py:170-174` logs the
+    *    count): `uri_matches` carries the per-key match count per EVENT,
+    *    so downstream metrics can aggregate it — stronger than the
+    *    reference's driver-side log line.
+    *
+    * Output columns: `uri` (enriched | original id | null on tag) and
+    * `uri_matches` (match count; 0 on miss; null on tag rows). */
+  def enrichUri(events: DataFrame, dim: DataFrame, eventKey: Column,
+      isTagEvent: Column = lit(false)): DataFrame = {
+    val picked = dim.groupBy(col("lookup_key")).agg(
+      min(col("uri")).as("_uri_pick"),
+      count(lit(1)).as("_uri_matches"))
     events.join(broadcast(picked), eventKey === picked("lookup_key"), "left")
-      .drop("lookup_key")
+      .withColumn("uri",
+        when(isTagEvent, lit(null).cast("string"))
+          .otherwise(coalesce(col("_uri_pick"), eventKey.cast("string"))))
+      .withColumn("uri_matches",
+        when(isTagEvent, lit(null).cast("long"))
+          .otherwise(coalesce(col("_uri_matches"), lit(0L))))
+      .drop("lookup_key", "_uri_pick", "_uri_matches")
   }
 
   /** Full per-event repair pipeline as one projection. */

@@ -55,6 +55,124 @@ object Validate {
     array_compact(array(rules.map(r =>
       when(!coalesce(r.holds, lit(false)), lit(r.name))): _*))
 
+  // ---- per-(service, type) rule registry --------------------------------
+
+  /** Event class = (service, kind) — the analog of the reference's
+    * `{service}_{type}` Cerberus-schema dispatch
+    * (`data_profiling.py:160-174`; the six schema files under
+    * `dependencies/`). In
+    * this engine the producing service is the `lang` toolchain and the
+    * kind splits deletes from upserts (their required fields differ, the
+    * same way `prediction` vs `event` schemas do). */
+  final case class EventClass(service: String, kind: String) {
+    def key: String = s"${service}_$kind"
+  }
+
+  /** Registry of per-class rule sets. Each class carries one or more
+    * VARIANTS (≙ Cerberus `anyof_schema`, `microone_event.json:59-187`):
+    * an event is clean if ANY variant validates; on failure the errors of
+    * every variant are recorded, prefixed `v<i>.`, so the quarantine row
+    * says why each acceptable shape was rejected.
+    *
+    * Ambiguity — two rule sets claiming the same class — is a
+    * construction-time hard error (the reference `sys.exit(1)`s when two
+    * schema files match one class, `data_profiling.py:165-170`); an
+    * event whose class has NO entry is quarantined as
+    * `unknown_event_class`, never crashed on (P8: the reference logs and
+    * skips, `data_profiling.py:190-202`). */
+  final class RuleRegistry private (val entries: Seq[(EventClass, Seq[Seq[Rule]])]) {
+
+    private def classErrors(variants: Seq[Seq[Rule]]): Column = {
+      val errs = variants.map(errorsColumn)
+      if (errs.size == 1) errs.head
+      else when(errs.map(e => size(e) === 0).reduce(_ || _),
+          array().cast("array<string>"))
+        .otherwise(concat(errs.zipWithIndex.map { case (e, i) =>
+          transform(e, m => concat(lit(s"v$i."), m)) }: _*))
+    }
+
+    /** One dispatching Column: the class key selects its rule set; an
+      * unregistered class yields `unknown_event_class`. A when-chain over
+      * a driver-side-small registry — stays inside whole-stage codegen. */
+    def errorsFor(classKey: Column): Column =
+      entries.foldRight(
+          array(lit("unknown_event_class")).cast("array<string>"): Column) {
+        case ((cls, variants), els) =>
+          when(classKey === cls.key, classErrors(variants)).otherwise(els)
+      }
+  }
+
+  object RuleRegistry {
+    def apply(entries: Seq[(EventClass, Seq[Seq[Rule]])]): RuleRegistry = {
+      val dups = entries.groupBy(_._1.key).filter(_._2.size > 1).keys.toSeq.sorted
+      require(dups.isEmpty,
+        s"ambiguous rule registry: multiple rule sets for ${dups.mkString(", ")}")
+      new RuleRegistry(entries)
+    }
+  }
+
+  /** Envelope rules shared by every class (the common envelope block all
+    * six reference schemas repeat, e.g. `microone_prediction.json:2-32`). */
+  def envelopeRules: Seq[Rule] = Seq(
+    Rule("corrupt_json", col("_corrupt").isNull),
+    Rule("missing_event_id", col("event_id").isNotNull),
+    Rule("missing_op", col("op").isNotNull),
+    Rule("op_not_in_enum", col("op").isNull || col("op").isin(Op.all: _*)),
+    Rule("missing_seq", col("seq").isNotNull),
+    Rule("negative_seq", col("seq").isNull || col("seq") >= 0),
+    Rule("missing_repo", col("repo").isNotNull && length(col("repo")) > 0),
+    Rule("missing_path", col("path").isNotNull && length(col("path")) > 0),
+    Rule("missing_part", col("part").isNotNull),
+    Rule("wrong_source",
+      col("source").isNull || col("source") === "app.change.log" ||
+        lower(col("source")) === "app.change.log"))
+
+  /** The engine's default registry: one class per (known lang) ×
+    * (upsert | delete), each with the two envelope variants on RAW wire
+    * fields — v0 old-style composite `commit_lang = "<commit>#<lang>"`,
+    * v1 new-style explicit `commit` + `lang`
+    * (≙ `anyof_schema`, resolved dual-path in `data_profiling.py:73-86`).
+    * Deletes do not require `content`; upserts do — the per-class
+    * required-fields difference a single global rule set cannot express. */
+  def defaultRegistry(services: Seq[String] =
+      Seq("scala", "python", "java", "go", "md")): RuleRegistry =
+    RuleRegistry(for {
+      service <- services
+      kind <- Seq("upsert", "delete")
+    } yield {
+      val v1 = Seq(Rule("unresolvable_commit",
+        col("commit_lang").isNotNull && col("commit_lang").contains("#")))
+      val v2 = Seq(
+        Rule("missing_commit", col("commit").isNotNull),
+        Rule("missing_lang", col("lang").isNotNull))
+      val content =
+        if (kind == "upsert") Seq(Rule("missing_content", col("content").isNotNull))
+        else Nil
+      EventClass(service, kind) -> Seq(v1 ++ content, v2 ++ content)
+    })
+
+  /** Class key of a raw decoded event: service from either envelope
+    * variant (explicit `lang` or the composite's suffix — P5,
+    * `data_profiling.py:61-87`), kind from the op. */
+  def classKey: Column = concat_ws("_",
+    coalesce(col("lang"),
+      when(col("commit_lang").contains("#"),
+        element_at(split(col("commit_lang"), "#"), -1))),
+    when(col("op") === Op.Delete, lit("delete")).otherwise(lit("upsert")))
+
+  /** Registry-dispatched routing: envelope rules + the event's class
+    * rules in ONE projection. Runs on the RAW decoded shape (before
+    * commit/lang resolution), like the reference profiles before it
+    * flattens. */
+  def routeByClass(df: DataFrame, registry: RuleRegistry = defaultRegistry(),
+      classCol: Column = classKey): (DataFrame, DataFrame) = {
+    val annotated = df.withColumn("errors",
+      concat(errorsColumn(envelopeRules), registry.errorsFor(classCol)))
+    (annotated.filter(size(col("errors")) === 0).drop("errors", "_corrupt", "raw"),
+      annotated.filter(size(col("errors")) > 0)
+        .select(col("raw"), col("errors"), lit("validate").as("stage")))
+  }
+
   /** Annotate with `errors`; clean ⇔ `size(errors)=0`. One pass. */
   def annotate(df: DataFrame, rules: Seq[Rule] = changeEventRules): DataFrame =
     df.withColumn("errors", errorsColumn(rules))
@@ -69,4 +187,43 @@ object Validate {
       annotated.filter(size(col("errors")) > 0)
         .select(col("raw"), col("errors"), lit("validate").as("stage")))
   }
+
+  /** [[route]] plus per-rule observability (the reference's per-event
+    * PROFILER line, `data_profiling.py:180-189`, and its Kibana roll-up
+    * `process_logs.py:140-167`, folded into the batch's own jobs):
+    * a `df.observe` CollectMetrics node counts, per rule, how many events
+    * violated it, plus total and quarantined rows — the metrics ride the
+    * first job that scans the batch (Spark's `Observation` registers a
+    * QueryExecutionListener under the hood), so the counts cost ZERO
+    * extra passes. Read the result AFTER an action with
+    * `observation.getOrEmpty`; full per-event detail stays available in
+    * the quarantine output. `name` must be unique per query execution. */
+  def routeObserved(df: DataFrame, rules: Seq[Rule] = changeEventRules,
+      name: String = "validation")
+      : (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val annotated = annotate(df, rules)
+    val aggs = rules.map(r =>
+      sum(when(!coalesce(r.holds, lit(false)), 1L).otherwise(0L)).as(r.name)) ++ Seq(
+      count(lit(1)).as("parsed"),
+      sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("quarantined"))
+    val observed = annotated.observe(obs, aggs.head, aggs.tail: _*)
+    (observed.filter(size(col("errors")) === 0).drop("errors", "_corrupt", "raw"),
+      observed.filter(size(col("errors")) > 0)
+        .select(col("raw"), col("errors"), lit("validate").as("stage")),
+      obs)
+  }
+
+  /** Lineage-map entries from a completed observation: per-rule counts
+    * keyed `rule.<name>` plus `parsed` / `quarantined`. Empty if no
+    * action has materialized the observed plan yet (non-blocking — reads
+    * the already-completed future rather than awaiting one). */
+  def observedLineage(obs: org.apache.spark.sql.Observation): Map[String, Long] =
+    obs.future.value.flatMap(_.toOption).map { row =>
+      row.schema.fieldNames.map { k =>
+        val n = Option(row.getAs[Any](k))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+        (if (k == "parsed" || k == "quarantined") k else s"rule.$k") -> n
+      }.toMap
+    }.getOrElse(Map.empty)
 }

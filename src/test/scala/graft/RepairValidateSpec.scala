@@ -75,14 +75,23 @@ class RepairValidateSpec extends AnyFunSuite {
     assert(v2 == "new") // explicit v2 field wins
   }
 
-  test("R6/J1: broadcast lookup enrichment — first match wins, miss keeps null") {
-    val events = Seq(("e1", "MYLIB/42"), ("e2", "MYLIB/404")).toDF("id", "media_key")
+  test("R6/J1: full reference semantics in the operator — match, miss, tag, multi-match") {
+    // golden rows ≙ test_flat_jsons.py:218-286
+    val events = Seq(
+      ("e1", "MYLIB/42", "PUBLISH"),   // multi-match → first (min) wins
+      ("e2", "MYLIB/404", "PUBLISH"),  // miss → original id kept
+      ("e3", "MYLIB/42", "ADD_TAG")    // tag → enrichment target nulled
+    ).toDF("id", "media_key", "etype")
     val dim = Seq(("MYLIB/42", "s3://bucket/a/42.png"), ("MYLIB/42", "s3://bucket/z/42.png"))
       .toDF("lookup_key", "uri")
-    val out = Repair.enrichUri(events, dim, col("media_key"))
-      .select($"id", $"uri").collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(out("e1") == "s3://bucket/a/42.png") // deterministic min = first match
-    assert(out("e2") == null) // miss keeps original (null uri)
+    val out = Repair.enrichUri(events, dim, col("media_key"),
+        isTagEvent = $"etype" === "ADD_TAG")
+      .select($"id", $"uri", $"uri_matches").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out("e1") == (("s3://bucket/a/42.png", 2L))) // min pick + observable multi-match
+    assert(out("e2") == (("MYLIB/404", 0L)))            // flat_jsons.py:165-170
+    assert(out("e3") == ((null, -1L)))                  // flat_jsons.py:176-181
   }
 
   test("validation matrix: each rule fires alone; clean event passes") {
@@ -119,5 +128,107 @@ class RepairValidateSpec extends AnyFunSuite {
     // multiple failures accumulate:
     assert(errorsOf("op" -> null, "repo" -> null) ==
       Set("missing_op", "missing_repo"))
+  }
+
+  // ---- per-(service, kind) registry matrix — mirrors the reference's
+  // five `test_data_profiling.py` cases over `anyof_schema` variants ----
+
+  private def wireDf(over: (String, Any)*): org.apache.spark.sql.DataFrame = {
+    val base = Map[String, Any](
+      "_corrupt" -> null, "raw" -> "{}", "event_id" -> "e", "op" -> "INSERT",
+      "seq" -> 5L, "repo" -> "r", "path" -> "p",
+      "commit" -> "c", "lang" -> "scala", "commit_lang" -> null,
+      "content" -> "x", "source" -> "app.change.log", "part" -> "0")
+    val m = base ++ over
+    val schema = StructType(Seq(
+      StructField("_corrupt", StringType), StructField("raw", StringType),
+      StructField("event_id", StringType), StructField("op", StringType),
+      StructField("seq", LongType), StructField("repo", StringType),
+      StructField("path", StringType), StructField("commit", StringType),
+      StructField("lang", StringType), StructField("commit_lang", StringType),
+      StructField("content", StringType), StructField("source", StringType),
+      StructField("part", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(Row(
+      m("_corrupt"), m("raw"), m("event_id"), m("op"), m("seq"), m("repo"),
+      m("path"), m("commit"), m("lang"), m("commit_lang"), m("content"),
+      m("source"), m("part"))), schema)
+  }
+
+  private def registryErrors(over: (String, Any)*): Set[String] = {
+    val (clean, dirty) = Validate.routeByClass(wireDf(over: _*))
+    if (dirty.isEmpty) { assert(clean.count() == 1); Set() }
+    else dirty.select($"errors").head().getSeq[String](0).toSet
+  }
+
+  test("registry case 1: old-style event (composite commit_lang) passes its class") {
+    // ≙ test_data_profiling.py:25-66 (v1 variant via prediction_id)
+    assert(registryErrors("commit" -> null, "lang" -> null,
+      "commit_lang" -> "abc123#python") == Set())
+  }
+
+  test("registry case 2: new-style event (explicit commit+lang) passes") {
+    // ≙ test_data_profiling.py:68-111 (v2 variant via explicit service)
+    assert(registryErrors() == Set())
+  }
+
+  test("registry case 3: neither variant resolvable fails with BOTH variants' errors") {
+    // ≙ test_data_profiling.py:113-155
+    val errs = registryErrors("commit" -> null, "lang" -> "go",
+      "commit_lang" -> "no-separator")
+    assert(errs == Set("v0.unresolvable_commit", "v1.missing_commit"))
+  }
+
+  test("registry case 4: per-class required fields — upsert needs content, delete does not") {
+    // ≙ test_data_profiling.py:157-203 (good prediction passes) + the
+    // class-specific requirement a global rule set cannot express
+    assert(registryErrors("op" -> "DELETE", "content" -> null) == Set())
+    // anyof semantics: BOTH variants' failures are recorded (the v2-style
+    // event also fails v0's composite-commit requirement, like Cerberus
+    // reporting every anyof branch)
+    val errs = registryErrors("content" -> null)
+    assert(errs == Set("v0.unresolvable_commit",
+      "v0.missing_content", "v1.missing_content"))
+  }
+
+  test("registry case 5: unknown service quarantines as unknown_event_class, never crashes") {
+    // ≙ test_data_profiling.py:205-251 (wrong service enum → fail; the
+    // reference's IndexError-skip `data_profiling.py:190-202` made typed)
+    assert(registryErrors("lang" -> "rust", "commit_lang" -> null) ==
+      Set("unknown_event_class"))
+    // ... while a registry extended with the new producer accepts it:
+    val reg = Validate.defaultRegistry(Seq("scala", "python", "java", "go", "md", "rust"))
+    val (clean, _) = Validate.routeByClass(wireDf("lang" -> "rust"), reg)
+    assert(clean.count() == 1)
+  }
+
+  test("registry ambiguity is a construction-time hard error") {
+    // ≙ data_profiling.py:165-170 (two schema files for one class → exit)
+    val dup = Validate.EventClass("scala", "upsert")
+    intercept[IllegalArgumentException] {
+      Validate.RuleRegistry(Seq(
+        dup -> Seq(Seq(Validate.Rule("a", lit(true)))),
+        dup -> Seq(Seq(Validate.Rule("b", lit(true))))))
+    }
+  }
+
+  test("registry path through the full pipeline: per-class routing + resolution") {
+    val lake = new graft.lake.LakeTable(TestSpark.tmpDir("regpipe"), spark)
+    val blobs = graft.gen.ChangeLogGen.blobs(spark, 400, 31L)
+      .select($"blob").as[String]
+    val (_, dirty) = CdcPipeline.processBlobs(spark, blobs, lake, "reg-0",
+      registry = Some(Validate.defaultRegistry()))
+    val dirtyRows = dirty.count()
+    // wrong-source + corrupt slices land in quarantine, clean rows commit
+    assert(dirtyRows > 0 && lake.read().count() > 0)
+    // parity with the global-rule pipeline on the same input (the
+    // default registry encodes the same semantics, dispatched by class)
+    val lake2 = new graft.lake.LakeTable(TestSpark.tmpDir("regpipe2"), spark)
+    val (_, dirty2) = CdcPipeline.processBlobs(spark, blobs, lake2, "reg-0")
+    assert(dirty2.count() == dirtyRows)
+    val a = lake.read().select($"repo", $"path", $"commit", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    val b = lake2.read().select($"repo", $"path", $"commit", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
   }
 }
