@@ -180,8 +180,12 @@ class LakeTable(val root: String, spark: SparkSession,
     *
     * Stats come from the parquet FOOTERS (row counts + repo/path column
     * min/max), not from re-reading the data \u2014 a metadata-only pass, the
-    * same trick Iceberg manifests use. Cost per batch: one footer read
-    * per new file, on the driver. */
+    * same trick Iceberg manifests use. The footer reads run as one small
+    * TASK-SIDE job over the file list (executors each open a handful of
+    * footers), so commit latency stays flat as the per-batch output-file
+    * count grows; the driver's only per-file work is the rename into
+    * `data/` (a metadata op). Iceberg collects stats in its write tasks
+    * for the same reason. */
   def writeDataFiles(df: DataFrame, label: String): Seq[FileEntry] = {
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
@@ -191,22 +195,35 @@ class LakeTable(val root: String, spark: SparkSession,
     val parts = try pls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       finally pls.close()
-    val conf = spark.sessionState.newHadoopConf()
-    // footer reads are independent IO — do them concurrently so commit
-    // latency doesn't grow linearly with output-file count
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val entries = Await.result(Future.traverse(parts.zipWithIndex.toList) {
-      case (src, i) => Future {
-        val (rows, minR, maxR, minP, maxP, minS, maxS) = footerStats(src, conf)
-        val name = s"$label-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
-        val dst = dataDir.resolve(name)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
-          minS, maxS)
+    val stats: Map[String, (Long, String, String, String, String, Long, Long)] =
+      if (parts.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        // ship the session's Hadoop conf (FS credentials) to the tasks
+        val confBc = spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+          spark.sessionState.newHadoopConf()))
+        val n = math.max(1, math.min(parts.size, spark.sparkContext.defaultParallelism))
+        val rows = spark.createDataset(parts.map(_.toString))
+          .repartition(n)
+          .mapPartitions { it =>
+            val conf = confBc.value.value
+            it.map { p =>
+              val (rws, minR, maxR, minP, maxP, minS, maxS) =
+                LakeTable.footerStats(Paths.get(p), conf)
+              (p, rws, minR, maxR, minP, maxP, minS, maxS)
+            }
+          }.collect()
+        confBc.unpersist()
+        rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
       }
-    }, Duration.Inf)
+    val entries = parts.zipWithIndex.map { case (src, i) =>
+      val (rows, minR, maxR, minP, maxP, minS, maxS) = stats(src.toString)
+      val name = s"$label-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
+      val dst = dataDir.resolve(name)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
+        minS, maxS)
+    }
     // clean tmp dir remnants (_SUCCESS etc.)
     val w = Files.walk(tmp)
     try w.sorted(java.util.Comparator.reverseOrder[Path]())
@@ -215,57 +232,6 @@ class LakeTable(val root: String, spark: SparkSession,
     entries.filter(_.rows > 0)
   }
 
-  /** Row count + (repo, path) string min/max + seq long min/max from a
-    * parquet footer. */
-  private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
-      : (Long, String, String, String, String, Long, Long) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-    val reader = ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala
-      var rows = 0L
-      var minR: String = null; var maxR: String = null
-      var minP: String = null; var maxP: String = null
-      var minS = Long.MaxValue; var maxS = Long.MinValue
-      blocks.foreach { b =>
-        rows += b.getRowCount
-        b.getColumns.asScala.foreach { c =>
-          val colName = c.getPath.toDotString
-          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
-          if (st != null && st.hasNonNullValue) {
-            def str(v: Any): String = v match {
-              case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
-              case other => String.valueOf(other)
-            }
-            colName match {
-              case "repo" =>
-                val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
-                if (minR == null || lo < minR) minR = lo
-                if (maxR == null || hi > maxR) maxR = hi
-              case "path" =>
-                val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
-                if (minP == null || lo < minP) minP = lo
-                if (maxP == null || hi > maxP) maxP = hi
-              case "seq" => (st.genericGetMin, st.genericGetMax) match {
-                case (lo: java.lang.Long, hi: java.lang.Long) =>
-                  if (lo < minS) minS = lo
-                  if (hi > maxS) maxS = hi
-                case _ => ()
-              }
-              case _ => ()
-            }
-          }
-        }
-      }
-      (rows,
-        Option(minR).getOrElse(""), Option(maxR).getOrElse("\uffff"),
-        Option(minP).getOrElse(""), Option(maxP).getOrElse("\uffff"),
-        if (minS == Long.MaxValue) Long.MinValue else minS,
-        if (maxS == Long.MinValue) Long.MaxValue else maxS)
-    } finally reader.close()
-  }
 
   /** Atomically commit a new snapshot: keep `retain`, add `added`, drop
     * everything else. Returns the committed version, or the existing one
@@ -515,5 +481,61 @@ class LakeTable(val root: String, spark: SparkSession,
         (v, s.batchId, k.stripPrefix("rule."), n) }
     }
     rows.toDF("version", "batch_id", "rule", "violations")
+  }
+}
+
+object LakeTable {
+
+  /** Row count + (repo, path) string min/max + seq long min/max from a
+    * parquet footer. Static so write-job TASKS can call it
+    * without capturing a table instance (executor-side stat collection). */
+  private[lake] def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, String, String, String, String, Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var rows = 0L
+      var minR: String = null; var maxR: String = null
+      var minP: String = null; var maxP: String = null
+      var minS = Long.MaxValue; var maxS = Long.MinValue
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          val colName = c.getPath.toDotString
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            def str(v: Any): String = v match {
+              case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+              case other => String.valueOf(other)
+            }
+            colName match {
+              case "repo" =>
+                val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
+                if (minR == null || lo < minR) minR = lo
+                if (maxR == null || hi > maxR) maxR = hi
+              case "path" =>
+                val lo = str(st.genericGetMin); val hi = str(st.genericGetMax)
+                if (minP == null || lo < minP) minP = lo
+                if (maxP == null || hi > maxP) maxP = hi
+              case "seq" => (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  if (lo < minS) minS = lo
+                  if (hi > maxS) maxS = hi
+                case _ => ()
+              }
+              case _ => ()
+            }
+          }
+        }
+      }
+      (rows,
+        Option(minR).getOrElse(""), Option(maxR).getOrElse("\uffff"),
+        Option(minP).getOrElse(""), Option(maxP).getOrElse("\uffff"),
+        if (minS == Long.MaxValue) Long.MinValue else minS,
+        if (maxS == Long.MinValue) Long.MaxValue else maxS)
+    } finally reader.close()
   }
 }

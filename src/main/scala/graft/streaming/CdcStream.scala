@@ -94,13 +94,30 @@ object CdcStream {
     * `readSince`: downstream consumers see exactly the net new winners.
     * State survives restarts via the checkpoint's state store, so the
     * feed never re-emits across resumes. LWW is order-insensitive, so no
-    * watermark is needed for correctness; state is bounded by live keys
-    * (a TTL timeout would bolt on here for evicting retired keys). */
+    * watermark is needed for correctness.
+    *
+    * State TTL: with `stateTtl = Some(duration)` a key's state is
+    * evicted after `duration` of processing-time inactivity
+    * (`GroupStateTimeout.ProcessingTimeTimeout`; the deadline refreshes
+    * on every arrival for the key, and eviction fires on the next batch
+    * after it lapses). This bounds state to RECENTLY-ACTIVE keys instead
+    * of all live keys — at 10^8 live keys with a long cold tail the
+    * difference between a bounded and an unbounded state store.
+    * Re-emission semantics after eviction: the feed's dedup memory for
+    * that key is gone, so the next event — even one STALE relative to a
+    * pre-eviction winner — is emitted as a fresh winner. Consumers that
+    * need exact once-per-winner across TTL evictions must dedup on
+    * (key, seq) downstream (or read the lake's `readSince`, which is
+    * always exact: the TABLE, unlike the feed, keeps LWW state forever
+    * by construction). `None` keeps the exact never-re-emit behavior. */
   def lwwChangeFeed(spark: SparkSession, inputDir: String,
-      maxFilesPerTrigger: Int = 500): Dataset[Change] = {
+      maxFilesPerTrigger: Int = 500,
+      stateTtl: Option[String] = None): Dataset[Change] = {
     import spark.implicits._
     def newer(aSeq: Long, aCommit: String, bSeq: Long, bCommit: String): Boolean =
       aSeq > bSeq || (aSeq == bSeq && aCommit > bCommit)
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -108,16 +125,21 @@ object CdcStream {
       .as[Change]
       .groupByKey(c => (c.repo, c.path))
       .flatMapGroupsWithState[KeyState, Change](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         case (_, events: Iterator[Change], state: GroupState[KeyState]) =>
-          val best = events.reduceLeft((a, b) =>
-            if (newer(b.seq, b.commit, a.seq, a.commit)) b else a)
-          val isNew = state.getOption.forall(s =>
-            newer(best.seq, best.commit, s.seq, s.commit))
-          if (isNew) {
-            state.update(KeyState(best.seq, best.commit))
-            Iterator.single(best)
-          } else Iterator.empty
+          if (state.hasTimedOut) { // TTL eviction: retire the idle key
+            state.remove()
+            Iterator.empty
+          } else {
+            val best = events.reduceLeft((a, b) =>
+              if (newer(b.seq, b.commit, a.seq, a.commit)) b else a)
+            val isNew = state.getOption.forall(s =>
+              newer(best.seq, best.commit, s.seq, s.commit))
+            if (isNew) state.update(KeyState(best.seq, best.commit))
+            // refresh the inactivity deadline on every arrival
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (isNew) Iterator.single(best) else Iterator.empty
+          }
       }
   }
 }

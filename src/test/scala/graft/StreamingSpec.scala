@@ -96,6 +96,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(w2.toSet == Set(("r2", "b", 7L)))
   }
 
+  test("change-feed state TTL: idle keys evicted, post-eviction stale event re-emits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = TestSpark.tmpDir("ttl-in")
+    val ckDir = TestSpark.tmpDir("ttl-ck")
+    def drain(suffix: String): Seq[(String, String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+      val q = CdcStream.lwwChangeFeed(spark, inDir, stateTtl = Some("1 milliseconds"))
+        .writeStream
+        .queryName(s"feedttl_$suffix")
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.Change], _: Long) =>
+            b.collect().foreach(c => buf.add((c.repo, c.path, c.seq))): Unit
+        }
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    def rows(data: Seq[(String, String, Long)]) = data
+      .map { case (repo, path, seq) =>
+        ("UPDATE", "0", repo, path, s"c$seq", "scala", s"content-$seq", seq)
+      }
+      .toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+
+    // wave 1: key A wins at seq 12
+    rows(Seq(("rA", "x", 12L))).write.mode("append").parquet(inDir)
+    assert(drain("w1").toSet == Set(("rA", "x", 12L)))
+    Thread.sleep(50) // let the 1 ms inactivity TTL lapse
+    // wave 2: unrelated key — its batch also fires A's lapsed timeout
+    rows(Seq(("rB", "y", 5L))).write.mode("append").parquet(inDir)
+    assert(drain("w2").toSet == Set(("rB", "y", 5L)))
+    Thread.sleep(50)
+    // wave 3: a STALE event for A (seq 3 < 12). With A's state evicted the
+    // feed re-emits it — the documented TTL trade-off (without TTL, the
+    // restored state absorbs it: see the net-new-winners test above)
+    rows(Seq(("rA", "x", 3L))).write.mode("append").parquet(inDir)
+    assert(drain("w3").toSet == Set(("rA", "x", 3L)))
+  }
+
   test("windowed op counts: watermark closes old windows and drops too-late events") {
     import org.apache.spark.sql.streaming.Trigger
     val inDir = TestSpark.tmpDir("win-in")
