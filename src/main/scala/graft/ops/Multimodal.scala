@@ -10,49 +10,141 @@ import org.apache.spark.sql.functions._
   * (the JVM analog of `mapInPandas`: per-partition batch iteration, one
   * decoder instance per partition, no per-row setup cost).
   *
-  * The actual codec calls are STUBBED — no image/audio libraries exist in
-  * this container — behind [[MediaCodec]]: `decodeStub` produces a
-  * deterministic fake feature vector from the bytes. The Spark-side
-  * contract (schema, batching, partitioning, null handling) is real and
-  * tested; swapping in a real decoder touches only [[MediaCodec]].
+  * [[MediaCodec]] is the codec boundary. Two headered formats decode FOR
+  * REAL, dependency-free (pure-JVM header parsers): BMP
+  * (BITMAPINFOHEADER little-endian dims) and canonical PCM WAV (fmt
+  * chunk rate/channels, frame count from data size / byte rate).
+  * Unheadered payloads fall back to a deterministic byte-stat feature
+  * stub — the container has no image/audio CODEC libraries, so pixel
+  * /sample DSP stays stubbed; swapping a full decoder in touches only
+  * [[MediaCodec.decode]], the batch plumbing is format-agnostic.
   */
 object Multimodal {
 
   case class MediaMeta(mediaType: String, widthPx: Int, heightPx: Int, durationMs: Long)
   case class MediaRow(mediaId: Long, media: Array[Byte], meta: MediaMeta)
-  case class MediaFeatures(mediaId: Long, nBytes: Long, sha: String,
+  case class MediaFeatures(mediaId: Long, fmt: String, dimA: Option[Int],
+      dimB: Option[Int], nBytes: Long, payloadSha: String,
       features: Array[Float], frameCount: Int)
 
-  /** The stub boundary: deterministic fake "decode" so the plumbing is
-    * testable. A real deployment replaces the body with e.g. a JNI/FFM
-    * codec call — signature and batch shape stay identical. */
+  /** The codec boundary: real header decode for BMP/WAV, deterministic
+    * byte-stat fallback for anything else. */
   object MediaCodec {
-    /** Stubbed decode+feature-extract: 8 floats derived from byte stats. */
-    def decodeStub(bytes: Array[Byte], meta: MediaMeta): (Array[Float], Int) = {
-      if (bytes == null || bytes.isEmpty) return (Array.fill(8)(0f), 0)
+
+    /** What a decode yields: detected format, two format dims (BMP
+      * width/height; WAV sample-rate/channels), where the payload starts
+      * (header length), frame count, and a small feature vector. */
+    case class Decoded(fmt: String, dimA: Option[Int], dimB: Option[Int],
+        payloadOffset: Int, frameCount: Int, features: Array[Float])
+
+    private def writeLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def writeLE16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def readLE32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def readLE16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** Minimal valid BMP (54-byte BITMAPFILEHEADER + BITMAPINFOHEADER,
+      * 24 bpp) wrapping `payload` as the pixel array. */
+    def encodeBmp(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](54 + payload.length)
+      out(0) = 'B'; out(1) = 'M'
+      writeLE32(out, 2, 54 + payload.length) // file size
+      writeLE32(out, 10, 54)                 // pixel-data offset
+      writeLE32(out, 14, 40)                 // BITMAPINFOHEADER size
+      writeLE32(out, 18, width)
+      writeLE32(out, 22, height)
+      writeLE16(out, 26, 1)                  // planes
+      writeLE16(out, 28, 24)                 // bits per pixel
+      writeLE32(out, 34, payload.length)     // image size
+      System.arraycopy(payload, 0, out, 54, payload.length)
+      out
+    }
+
+    /** Canonical 44-byte PCM WAV header (16-bit samples) wrapping
+      * `payload` as the data chunk. */
+    def encodeWav(sampleRate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + payload.length)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      writeLE32(out, 4, 36 + payload.length)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      writeLE32(out, 16, 16)                 // fmt chunk size
+      writeLE16(out, 20, 1)                  // PCM
+      writeLE16(out, 22, channels)
+      writeLE32(out, 24, sampleRate)
+      writeLE32(out, 28, sampleRate * channels * 2) // byte rate
+      writeLE16(out, 32, channels * 2)       // block align
+      writeLE16(out, 34, 16)                 // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      writeLE32(out, 40, payload.length)
+      System.arraycopy(payload, 0, out, 44, payload.length)
+      out
+    }
+
+    /** Deterministic byte-stat features over `bytes[from..)` — the
+      * DSP-stub part (no codec libraries in this container). */
+    private def byteStats(bytes: Array[Byte], from: Int): Array[Float] = {
+      val n = bytes.length - from
+      if (n <= 0) return Array.fill(8)(0f)
       val sums = new Array[Long](8)
-      var i = 0
-      while (i < bytes.length) { sums(i % 8) += bytes(i) & 0xff; i += 1 }
-      val feats = sums.map(s => (s.toDouble / bytes.length).toFloat)
-      val frames = // deterministic fake frame sample count
-        if (meta.durationMs > 0) math.max(1, (meta.durationMs / 1000).toInt) else 1
-      (feats, frames)
+      var i = from
+      while (i < bytes.length) { sums((i - from) % 8) += bytes(i) & 0xff; i += 1 }
+      sums.map(s => (s.toDouble / n).toFloat)
+    }
+
+    /** Real header decode: BMP ("BM") → width/height from the
+      * BITMAPINFOHEADER, payload at the declared pixel offset, 1 frame;
+      * WAV ("RIFF…WAVE") → sample rate + channels from the fmt chunk,
+      * frame count = whole seconds of audio (data bytes / byte rate);
+      * anything else → byte-stat stub with meta-derived frame samples. */
+    def decode(bytes: Array[Byte], meta: MediaMeta): Decoded = {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+        val off = math.min(math.max(readLE32(b, 10), 54), b.length)
+        Decoded("bmp", Some(readLE32(b, 18)), Some(readLE32(b, 22)),
+          off, 1, byteStats(b, off))
+      } else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+        val channels = readLE16(b, 22)
+        val rate = readLE32(b, 24)
+        val byteRate = math.max(1, readLE32(b, 28))
+        val dataLen = (b.length - 44).toLong
+        Decoded("wav", Some(rate), Some(channels), 44,
+          math.max(1L, dataLen / byteRate).toInt, byteStats(b, 44))
+      } else {
+        val frames =
+          if (meta != null && meta.durationMs > 0)
+            math.max(1, (meta.durationMs / 1000).toInt) else 1
+        Decoded("raw", None, None, 0, frames, byteStats(b, 0))
+      }
     }
   }
 
-  /** Batch feature extraction: one pass per partition, codec initialized
-    * once per partition (the expensive-init pattern of mapInPandas). */
+  /** Batch feature extraction: one pass per partition, digest + decoder
+    * initialized once per partition (the expensive-init pattern of
+    * mapInPandas). `payloadSha` hashes the DECODED payload (bytes after
+    * the parsed header) — a byte-exact end-to-end gate on the header
+    * parse: a wrong offset or endianness shifts the payload slice and
+    * breaks the hash. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
-        val (feats, frames) = MediaCodec.decodeStub(r.media, r.meta)
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        val d = MediaCodec.decode(bytes, r.meta)
         digest.reset()
-        val sha = digest.digest(if (r.media == null) Array.emptyByteArray else r.media)
-          .map("%02x".format(_)).mkString
-        MediaFeatures(r.mediaId, if (r.media == null) 0L else r.media.length.toLong,
-          sha, feats, frames)
+        val sha = digest.digest(java.util.Arrays.copyOfRange(
+          bytes, d.payloadOffset, bytes.length)).map("%02x".format(_)).mkString
+        MediaFeatures(r.mediaId, d.fmt, d.dimA, d.dimB, bytes.length.toLong,
+          sha, d.features, d.frameCount)
       }
     }
   }
@@ -71,5 +163,27 @@ object Multimodal {
         (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("heightPx"),
         (pmod(col("doc_id"), lit(60000))).as("durationMs")).as("meta"))
       .as[MediaRow]
+  }
+
+  /** Synthetic HEADERED media: wraps each document's bytes in a real BMP
+    * (doc_id ≡ 0 mod 3), a real WAV (≡ 1), or leaves them raw (≡ 2), with
+    * deterministic dims — so the decode path is exercised end-to-end and
+    * a SQL oracle can recompute every parsed field analytically. */
+  def syntheticHeaderedMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p0) =>
+        val payload = if (p0 == null) Array.emptyByteArray else p0
+        val meta = MediaMeta(
+          Seq("image", "audio", "video")((id % 3).toInt),
+          (id % 1920 + 1).toInt, (id % 1080 + 1).toInt, id % 60000)
+        val blob = (id % 3) match {
+          case 0 => MediaCodec.encodeBmp((id % 1920 + 1).toInt, (id % 1080 + 1).toInt, payload)
+          case 1 => MediaCodec.encodeWav((id % 48000 + 8000).toInt, (id % 2 + 1).toInt, payload)
+          case _ => payload
+        }
+        MediaRow(id, blob, meta)
+      }
   }
 }

@@ -126,14 +126,11 @@ object Similarity {
     aggregate(zip_with(qv, typedLit(centroid), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, v) => acc + v)
 
-  /** IVF (inverted-file) coarse cells: centroids are the `nCells`
-    * lowest-id corpus vectors — a deterministic, seedless choice any
-    * engine can mirror (a k-means refinement would drop in here; the
-    * cell/probe mechanics are identical). Assignment takes the least of
-    * `nCells` (distance, cellId) structs against the driver-collected,
-    * metadata-scale centroid table (`cents.size` cells) — exact integer
-    * L2, ties toward the lower cell id, no row explosion and no shuffle.
-    * Adds `cell`. */
+  /** Assign each quantized vector (`qv` column) to its nearest centroid:
+    * least of `nCells` (distance, cellId) structs against the
+    * driver-held, metadata-scale centroid table — exact integer L2, ties
+    * toward the lower cell id, no row explosion and no shuffle. Adds
+    * `cell`. */
   private[ops] def ivfAssign(vecs: DataFrame,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val cellOf = cents.map { case (cid, cv) =>
@@ -142,18 +139,57 @@ object Similarity {
     vecs.withColumn("cell", least(cellOf: _*).getField("c"))
   }
 
+  /** One deterministic Lloyd (k-means) step over the quantized grid:
+    * assign every vector to its nearest centroid, then recompute each
+    * centroid as the element-wise FLOOR-mean of its members (the
+    * `(s - pmod(s, n)) div n` form is exact integer arithmetic, so a SQL
+    * oracle reproduces it bit-for-bit; empty cells keep their previous
+    * centroid). Plan shape at scale: the transpose is a posexplode to
+    * (cell, pos) keys and ONE hash aggregate with map-side combine —
+    * shuffle volume O(cells × dim × partitions), never O(rows × dim);
+    * the collected result is the metadata-scale centroid table. */
+  private[ops] def kmeansStep(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
+    val moved = ivfAssign(vecs, cents)
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(s - pmod(s, n)) DIV n"))
+      .select(col("cell"), col("pos"), col("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    cents.map { case (cid, old) => (cid, moved.getOrElse(cid, old)) }
+  }
+
   /** IVF ANN top-k with exact-integer ranking (oracle-gated as q30):
     * corpus vectors live in their nearest centroid's cell; each query
     * probes its `nProbe` nearest cells and ranks candidates by quantized
     * dot product. Candidates are an equi-join on cell id — never a cross
     * join; shuffle keys are cell ids. The LSH variant ([[lshTopKQuantized]])
-    * trades this centroid table for hyperplanes; both are scale paths. */
+    * trades this centroid table for hyperplanes; both are scale paths.
+    *
+    * Centroids: seeded from the `nCells` lowest-id corpus vectors (cell
+    * id = position in that id-sorted list, so ids need not be contiguous
+    * or Int-sized), then refined by `kmeansIters` deterministic Lloyd
+    * steps on the integer grid ([[kmeansStep]]) — seedless, so the
+    * DuckDB oracle mirrors seed choice, refinement, and assignment
+    * exactly. `kmeansIters = 0` keeps the raw lowest-id seeds. */
   def ivfTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents: Seq[(Int, Seq[Long])] = corpus
-      .select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+      queries: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 2,
+      kmeansIters: Int = 1): DataFrame = {
+    val qvecs = corpus.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    val seeds: Seq[(Int, Seq[Long])] = qvecs
       .orderBy(col("id")).limit(nCells).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toSeq) }.toSeq
+    val cents = (0 until kmeansIters).foldLeft(seeds) { (c, _) =>
+      kmeansStep(qvecs.select(col("qv")), c)
+    }
     val c = ivfAssign(
       corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv")),
       cents)

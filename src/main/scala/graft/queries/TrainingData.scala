@@ -122,9 +122,11 @@ object TrainingData {
       probeBits = 1)
   }
 
-  /** q30 — ANN second scale path: IVF coarse cells (16 centroids, probe
-    * the 2 nearest per query), exact-integer assignment and ranking,
-    * oracle-gated. */
+  /** q30 — ANN second scale path: IVF coarse cells (16 centroids seeded
+    * from the lowest-id vectors and refined by one deterministic Lloyd
+    * k-means step on the integer grid; probe the 2 nearest per query),
+    * exact-integer assignment and ranking — the oracle mirrors the seed
+    * rule, the floor-mean refinement, and the assignment bit-for-bit. */
   def q30AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val q = e.filter(col("vec_id") < 10)
@@ -133,14 +135,20 @@ object TrainingData {
       nCells = 16, nProbe = 2)
   }
 
-  /** q21 — multimodal plumbing: opaque binary payload + typed metadata →
-    * batched feature extraction via mapPartitions (decode stubbed, the
-    * deterministic outputs are oracle-gated). */
+  /** q21 — multimodal plumbing with a REAL pure-JVM header decode:
+    * documents wrapped as BMP / WAV / raw blobs, parsed back by
+    * [[graft.ops.Multimodal.MediaCodec.decode]] (dims from the binary
+    * header, payload sha from the decoded payload slice — byte-exact
+    * gate on offsets/endianness); the oracle recomputes every parsed
+    * field analytically. Pixel/sample DSP remains a declared stub (no
+    * codec libraries in this container). */
   def q21MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(spark, docs(spark, dir))
+    val media = Multimodal.syntheticHeaderedMedia(spark, docs(spark, dir))
     Multimodal.extractFeatures(media)
-      .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
-        col("sha"), col("frameCount").as("frame_count"))
+      .select(col("mediaId").as("media_id"), col("fmt"),
+        col("dimA").as("dim_a"), col("dimB").as("dim_b"),
+        col("nBytes").as("n_bytes"), col("payloadSha").as("sha"),
+        col("frameCount").as("frame_count"))
   }
 
   /** q29 — embedding-cosine near-dup pairs (semantic dedup): LSH bucket
@@ -345,8 +353,30 @@ object TrainingData {
       """WITH qv AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         | FROM embeddings
-        |), cent AS (SELECT vec_id AS cid, v AS cv FROM qv WHERE vec_id < 16),
-        |dists AS (
+        |), init AS (
+        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+        | FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT 16)
+        |), d0 AS (
+        | SELECT q.vec_id, q.v, c.cid,
+        |   CAST(list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, len(q.v)+1)]) AS BIGINT) AS d
+        | FROM qv q CROSS JOIN init c
+        |), a0 AS (
+        | SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
+        | WHERE rn = 1
+        |), pos AS (
+        | SELECT unnest(range(1, (SELECT len(v) + 1 FROM qv LIMIT 1))) AS i
+        |), sums AS (
+        | SELECT a.cell AS cid, p.i, CAST(sum(a.v[p.i]) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS n
+        | FROM a0 a CROSS JOIN pos p GROUP BY a.cell, p.i
+        |), moved AS (
+        | SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+        | FROM sums GROUP BY cid
+        |), cent AS (
+        | SELECT i.cid, coalesce(m.cv, i.cv) AS cv
+        | FROM init i LEFT JOIN moved m ON i.cid = m.cid
+        |), dists AS (
         | SELECT q.vec_id, q.v, c.cid,
         |   CAST(list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, len(q.v)+1)]) AS BIGINT) AS d
         | FROM qv q CROSS JOIN cent c
@@ -369,9 +399,19 @@ object TrainingData {
         |WHERE rank <= 5""".stripMargin,
     "q21_media_features" ->
       """SELECT doc_id AS media_id,
-        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'raw' END AS fmt,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 1920 + 1
+        |      WHEN 1 THEN doc_id % 48000 + 8000 ELSE NULL END AS INT) AS dim_a,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 1080 + 1
+        |      WHEN 1 THEN doc_id % 2 + 1 ELSE NULL END AS INT) AS dim_b,
+        | CAST(octet_length(CAST(text AS BLOB)) +
+        |      CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 44 ELSE 0 END AS BIGINT) AS n_bytes,
         | sha256(text) AS sha,
-        | CAST(greatest(1, CAST(floor((doc_id % 60000) / 1000.0) AS INT)) AS INT) AS frame_count
+        | CAST(CASE doc_id % 3
+        |   WHEN 0 THEN 1
+        |   WHEN 1 THEN greatest(1, octet_length(CAST(text AS BLOB)) //
+        |                           ((doc_id % 48000 + 8000) * (doc_id % 2 + 1) * 2))
+        |   ELSE greatest(1, (doc_id % 60000) // 1000) END AS INT) AS frame_count
         |FROM documents""".stripMargin,
   )
 }

@@ -156,17 +156,86 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal plumbing: batched stub decode, sha + byte counts exact") {
-    val media = Multimodal.syntheticMedia(spark, docs)
+  test("IVF ANN: k-means refinement lifts recall@5 over raw lowest-id seeds") {
+    // adversarial-for-lowest-id corpus: all 16 seed vectors sit inside
+    // cluster A (10·e0) with tiny per-seed jitter directions, so cluster
+    // B's members (10·e1 + signed jitter) scatter across many cells;
+    // after Lloyd steps a centroid migrates to B and reunites them
+    val dim = 10
+    def vec(main: Int, scale: Float, jdim: Int, jval: Float): Array[Float] = {
+      val a = new Array[Float](dim); a(main) = scale
+      if (jdim >= 0) a(jdim) = a(jdim) + jval
+      a
+    }
+    val pts =
+      (0 until 16).map(j => (j.toLong, vec(0, 10f, 2 + j % 8, 0.5f))) ++     // seeds in A
+      (16 until 56).map { i =>                                               // cluster B
+        val s = if (i % 2 == 0) 1f else -1f
+        (i.toLong, vec(1, 10f, 2 + i % 8, 0.3f * s))
+      } ++
+      (56 until 96).map(i => (i.toLong, vec(0, 10f, 2 + i % 8, 0.05f)))      // bulk of A
+    val vecs = pts.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" >= 16 && $"vec_id" < 24)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = top5(Similarity.quantizedDotTopK(vecs, "vec_id", "embedding", q, 5))
+    def recall(ivf: Map[Long, Set[Long]]): Double =
+      exact.map { case (qid, want) =>
+        ivf.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / exact.size
+    val base = recall(top5(Similarity.ivfTopKQuantized(
+      vecs, "vec_id", "embedding", q, 5, nCells = 16, nProbe = 2, kmeansIters = 0)))
+    val refined = recall(top5(Similarity.ivfTopKQuantized(
+      vecs, "vec_id", "embedding", q, 5, nCells = 16, nProbe = 2, kmeansIters = 3)))
+    assert(refined > base,
+      s"k-means should beat lowest-id seeds on clustered data: $refined vs $base")
+    assert(refined >= 0.9, s"refined recall too low: $refined")
+  }
+
+  test("multimodal plumbing: batched decode, payload sha + byte counts exact") {
+    val media = Multimodal.syntheticMedia(spark, docs) // raw payloads
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 5)
     feats.foreach { f =>
+      assert(f.fmt == "raw" && f.dimA.isEmpty && f.dimB.isEmpty)
       assert(f.features.length == 8)
       assert(f.nBytes > 0 && f.frameCount >= 1)
     }
     val expectedSha = docs.select($"doc_id", sha2($"text", 256)).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    feats.foreach(f => assert(f.sha == expectedSha(f.mediaId)))
+    feats.foreach(f => assert(f.payloadSha == expectedSha(f.mediaId)))
+  }
+
+  test("media decode: golden-byte BMP and WAV headers parse to spec") {
+    import Multimodal.MediaCodec
+    // hand-assembled 2x3 24bpp BMP with 6 payload bytes — independent of
+    // the encoder, pins offsets/endianness against the published format
+    val bmp: Array[Byte] = (Array[Int](
+      'B', 'M', 60, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 1, 0, 24, 0) ++ // info header head
+      Array.fill(24)(0) ++ // rest of info header
+      Array[Int](1, 2, 3, 4, 5, 6)).map(_.toByte)
+    val db = MediaCodec.decode(bmp, null)
+    assert(db.fmt == "bmp" && db.dimA.contains(2) && db.dimB.contains(3))
+    assert(db.payloadOffset == 54)
+    // hand-assembled WAV: 2 channels, 44100 Hz (0xAC44 LE), 16-bit PCM,
+    // 176400 B/s byte rate (0x02B110), 4 payload bytes
+    val wav: Array[Byte] = (Array[Int](
+      'R', 'I', 'F', 'F', 40, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xAC, 0, 0, 0x10, 0xB1, 0x02, 0, 4, 0, 16, 0,
+      'd', 'a', 't', 'a', 4, 0, 0, 0, 9, 9, 9, 9)).map(_.toByte)
+    val dw = MediaCodec.decode(wav, null)
+    assert(dw.fmt == "wav" && dw.dimA.contains(44100) && dw.dimB.contains(2))
+    assert(dw.payloadOffset == 44 && dw.frameCount == 1)
+    // encoder round-trips through the decoder
+    val rt = MediaCodec.decode(MediaCodec.encodeBmp(640, 480, Array[Byte](7, 8)), null)
+    assert(rt.dimA.contains(640) && rt.dimB.contains(480))
+    val rw = MediaCodec.decode(
+      MediaCodec.encodeWav(8000, 1, new Array[Byte](48000)), null)
+    assert(rw.dimA.contains(8000) && rw.frameCount == 3) // 48000 B / 16000 B/s
   }
 
   test("text analysis: token counts, language id, fingerprints behave") {
