@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches for training-data pipelines: HyperLogLog distinct
+  * counts (Flajolet, Fusy, Gandouet, Meunier 2007) built from pure column
+  * expressions — no UDF, no float drift.
+  *
+  * Why a sketch at 100 TB: exact `count(distinct content)` shuffles every
+  * distinct value; the HLL register vector is a CONSTANT 2^p longs per
+  * group, is computed by ONE map-side-combined hash aggregate over the
+  * scan, and is MERGEABLE — per-partition / per-batch / per-day sketches
+  * union with an element-wise max ([[hllMerge]]), so incremental corpus
+  * accounting (e.g. dedup planning per language/source) never rescans
+  * history. Shuffle volume is O(groups × 2^p × 8 B), independent of
+  * corpus size.
+  *
+  * Cross-engine determinism (the oracle gate, q34): the hash is the
+  * first 14 hex chars of md5 (56 bits, exact in an int64); the register
+  * index is the low `p` bits, the rank is integer bit-length arithmetic
+  * (binary-string length — no log2, whose round-to-nearest at register
+  * boundaries differs between engines); the estimator's harmonic sum is
+  * kept EXACT by scaling 2^-M to the integer 2^(maxRank-M) (≤ 2^51·2^p
+  * fits an int64), so the only floating-point steps are one division and
+  * one multiplication of exactly-representable values — bit-identical
+  * under IEEE 754 in any engine.
+  */
+object Sketches {
+
+  /** Bias-correction constant alpha_m (HLL paper, figure 3). */
+  private[ops] def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  private val HexChars = 14 // 56 bits of md5 — exact in a signed int64
+
+  /** Per-row (register, rank) from the text hash: register = low p bits,
+    * rank = 1 + leading zeros of the remaining (56-p)-bit word. */
+  private def regAndRank(text: Column, p: Int): (Column, Column) = {
+    val wBits = 4 * HexChars - p
+    val maxRank = wBits + 1
+    val h = conv(substring(md5(text), 1, HexChars), 16, 10).cast("long")
+    val reg = pmod(h, lit(1 << p))
+    val w = shiftright(h, p)
+    val rank = when(w === 0, lit(maxRank))
+      .otherwise(lit(maxRank) - length(conv(w.cast("string"), 10, 2)))
+    (reg, rank)
+  }
+
+  /** HLL register vector per key group: `hll` = array of 2^p ints, entry
+    * j = max rank observed in register j (0 = register never hit — which
+    * is exactly the M=0 the estimator expects). ONE hash aggregate with
+    * map-side combine; NULL texts contribute nothing (mirroring a SQL
+    * oracle's semantics). The vector is the mergeable sketch state. */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], textCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"p out of range: $p")
+    val m = 1 << p
+    val (reg, rank) = regAndRank(col(textCol), p)
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(keyCols.map(col) :+ reg.as("_reg") :+ rank.as("_rank"): _*)
+    val regAggs = (0 until m).map(j =>
+      max(when(col("_reg") === j, col("_rank"))).as(s"_m$j"))
+    perDoc.groupBy(keyCols.map(col): _*)
+      .agg(regAggs.head, regAggs.tail: _*)
+      .select(keyCols.map(col) :+
+        array((0 until m).map(j => coalesce(col(s"_m$j"), lit(0))): _*).as("hll"): _*)
+  }
+
+  /** Merge two sketches (same p): element-wise max. The union sketch of
+    * two corpora — associative, commutative, idempotent. */
+  def hllMerge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Exact integer harmonic-sum denominator: S = Σ_j 2^(maxRank − M_j),
+    * i.e. the HLL sum Σ 2^-M scaled by 2^maxRank to stay in int64.
+    * Public because it is the cross-engine-comparable sketch summary. */
+  def hllS(hll: Column, p: Int): Column = {
+    val maxRank = 4 * HexChars - p + 1
+    // functions.shiftleft only takes a literal Int shift; the SQL form
+    // accepts a column shift
+    aggregate(hll, lit(0L), (acc, mj) =>
+      acc + call_function("shiftleft", lit(1L), lit(maxRank) - mj))
+  }
+
+  /** Raw HLL cardinality estimate from a register vector, floored to a
+    * BIGINT: alpha_m · m² · 2^maxRank / S with S exact ([[hllS]]). The
+    * small-range linear-counting correction is deliberately NOT applied
+    * here (it needs ln, which engines round differently — see
+    * [[hllEstimateCorrected]] for production use off the oracle path). */
+  def hllEstimate(hll: Column, p: Int = 6): Column = {
+    val m = 1 << p
+    val maxRank = 4 * HexChars - p + 1
+    // (1L << maxRank).toDouble is exact; alpha·m² is one exact
+    // power-of-two scaling of alpha — both sides of the oracle compute
+    // the identical doubles, so the single divide + multiply + floor
+    // chain is bit-identical cross-engine
+    floor(lit(alpha(m) * m * m) *
+      (lit((1L << maxRank).toDouble) / hllS(hll, p).cast("double"))).cast("long")
+  }
+
+  /** Production estimator with the standard small-range correction: if
+    * the raw estimate ≤ 2.5·m and some registers are empty, use linear
+    * counting m·ln(m/V). Deterministic within one engine; kept off the
+    * cross-engine oracle gate because ln is not IEEE-exactly specified. */
+  def hllEstimateCorrected(hll: Column, p: Int = 6): Column = {
+    val m = 1 << p
+    val raw = hllEstimate(hll, p)
+    val zeros = size(filter(hll, x => x === 0))
+    when(raw <= lit((2.5 * m).toLong) && zeros > 0,
+      floor(lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).cast("long"))
+      .otherwise(raw)
+  }
+
+  /** Convenience: per-key distinct-count estimate in one call. */
+  def hllDistinct(df: DataFrame, keyCols: Seq[String], textCol: String,
+      p: Int = 6): DataFrame =
+    hllRegisters(df, keyCols, textCol, p)
+      .select(keyCols.map(col) :+ hllEstimate(col("hll"), p).as("distinct_est"): _*)
+}

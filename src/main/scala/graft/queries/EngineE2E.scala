@@ -96,6 +96,23 @@ object EngineE2E {
       sha2(col("content"), 256).as("content_sha"), col("seq"))
   }
 
+  /** q33 — snapshot time travel under the oracle gate: read the shared
+    * replayed lake AT the snapshot committed by the SECOND batch
+    * ([[LakeTable.read]] with an explicit version — the Iceberg
+    * `VERSION AS OF` pattern; old snapshots stay readable because commits
+    * never mutate data files, they only swap manifests). The oracle is
+    * the LWW final state of the event prefix `seq ≤ 2·max/3` — so this
+    * query certifies that historical snapshots are exact, not just the
+    * head. Resolved by batchId (not a hardcoded version number) so an
+    * empty batch's no-op commit cannot shift it. */
+  def q33TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (lake, _) = replayedLake(spark, dir)
+    val v = lake.versions.find(v => lake.snapshot(v).batchId == "e2e-1")
+      .getOrElse(sys.error("snapshot for batch e2e-1 not found"))
+    lake.read(Some(v)).select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("content_sha"), col("seq"))
+  }
+
   /** q28 — the skew-defense reduce under the oracle gate: the two-phase
     * salted LWW reduce ([[CdcApplier.saltedLwwReduce]], the hot-key path
     * the north rule names) over the changelog, which must be
@@ -200,7 +217,8 @@ object EngineE2E {
     "q25_lineage_metrics" -> q25Lineage _,
     "q27_changes_since" -> q27ChangesSince _,
     "q28_salted_lww" -> q28SaltedLww _,
-    "q31_compact_vacuum" -> q31CompactVacuum _)
+    "q31_compact_vacuum" -> q31CompactVacuum _,
+    "q33_time_travel" -> q33TimeTravel _)
 
   val oracles: Map[String, String] = Map(
     "q32_observed_rules" ->
@@ -293,6 +311,21 @@ object EngineE2E {
         |             ELSE 'UPDATE' END AS op,
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         | FROM events)
+        |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
+    "q33_time_travel" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events
+        | WHERE event_id <= (SELECT (2*max(event_id))//3 FROM events))
         |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
     "q28_salted_lww" ->
       """SELECT repo, path, commit, lang, content_sha, seq FROM (

@@ -157,8 +157,32 @@ object TrainingData {
     Dedup.embeddingNearDup(embs(spark, dir), "vec_id", "embedding",
       threshold = 0.3, nPlanes = 8)
 
+  /** q34 — HyperLogLog distinct-content estimate per language
+    * ([[graft.ops.Sketches]]): the mergeable register-vector sketch built
+    * by one hash aggregate, with the exact-integer harmonic sum so the
+    * raw estimator is bit-identical cross-engine. Output pairs the
+    * estimate with the exact distinct count (the exact side is for the
+    * accuracy demonstration in this gated query; at scale the sketch
+    * replaces it). */
+  def q34HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+    val sk = Sketches.hllRegisters(d, Seq("lang"), "text", p = 6)
+      .select(col("lang"),
+        size(filter(col("hll"), x => x > 0)).cast("long").as("hll_nonzero_registers"),
+        Sketches.hllS(col("hll"), 6).as("hll_s"),
+        Sketches.hllEstimate(col("hll"), 6).as("hll_est"))
+    val ex = d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("text")).as("exact_distinct"))
+    ex.join(sk, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("exact_distinct"),
+        col("hll_nonzero_registers"), col("hll_s"), col("hll_est"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_embedding_neardup" -> q29EmbeddingNearDup _,
+    "q34_hll_distinct" -> q34HllDistinct _,
     "q11_dedup_exact" -> q11DedupExact _,
     "q12_token_stats" -> q12TokenStats _,
     "q13_langid" -> q13LangId _,
@@ -176,6 +200,35 @@ object TrainingData {
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q34_hll_distinct" ->
+      """WITH h AS (
+        | SELECT lang, text,
+        |   list_sum([ CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+        |              * (CAST(1 AS BIGINT) << (4*(14-j))) for j in range(1, 15) ]) AS hv
+        | FROM documents WHERE text IS NOT NULL
+        |), rk AS (
+        | SELECT lang, hv % 64 AS reg,
+        |   CASE WHEN hv // 64 = 0 THEN 51 ELSE 51 - length(bin(hv // 64)) END AS rank
+        | FROM h
+        |), regs AS (
+        | SELECT lang, reg, max(rank) AS m FROM rk GROUP BY lang, reg
+        |), s AS (
+        | SELECT lang,
+        |   CAST(sum(CAST(1 AS BIGINT) << (51 - m)) AS BIGINT) AS s_present,
+        |   CAST(count(*) AS BIGINT) AS nz
+        | FROM regs GROUP BY lang
+        |), ex AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+        | FROM documents WHERE text IS NOT NULL GROUP BY lang
+        |)
+        |SELECT e.lang, e.n_docs, e.exact_distinct,
+        |  s.nz AS hll_nonzero_registers,
+        |  CAST(s.s_present + (64 - s.nz) * (CAST(1 AS BIGINT) << 51) AS BIGINT) AS hll_s,
+        |  CAST(floor((0.709 * 4096.0) * (2251799813685248.0 /
+        |       CAST(s.s_present + (64 - s.nz) * (CAST(1 AS BIGINT) << 51) AS DOUBLE)))
+        |   AS BIGINT) AS hll_est
+        |FROM ex e JOIN s USING (lang)""".stripMargin,
     "q29_embedding_neardup" ->
       """WITH qv AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v

@@ -84,6 +84,13 @@ class PlanSpec extends AnyFunSuite {
       s"ANN candidates must come from a bucket equi-join:\n$p")
   }
 
+  test("q34: HLL sketch is hash aggregates with map-side combine, no extra exchange") {
+    val p = plan("q34_hll_distinct")
+    assert(p.contains("HashAggregate") && p.contains("partial_max"),
+      s"register maxima must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("whole-stage codegen covers the scalar pipeline (q10)") {
     val p = plan("q10_scalar_functions")
     // codegen stages render as "*(n)" in executedPlan.toString

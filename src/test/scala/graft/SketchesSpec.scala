@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+/** HLL sketch behavior: register semantics match a scalar reference
+  * implementation bit-for-bit, merge ≡ union, estimates land within the
+  * expected error envelope, NULLs contribute nothing. */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Scalar reference: same md5-56-bit / low-p-register / bit-length-rank
+    * scheme, computed with plain JVM arithmetic. */
+  private def refRegisters(texts: Seq[String], p: Int): Array[Int] = {
+    val m = 1 << p
+    val maxRank = 4 * 14 - p + 1
+    val regs = new Array[Int](m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { t =>
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+      val reg = (h % m).toInt
+      val w = h >>> p
+      val rank = if (w == 0) maxRank else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > regs(reg)) regs(reg) = rank
+    }
+    regs
+  }
+
+  test("register vector matches the scalar reference bit-for-bit") {
+    val texts = (0 until 400).map(i => s"document number $i with body ${i * 37}")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "g") }
+      .toDF("id", "text", "grp")
+    val got = Sketches.hllRegisters(df, Seq("grp"), "text", p = 6)
+      .select(col("hll")).head().getSeq[Int](0).toArray
+    assert(got.sameElements(refRegisters(texts, 6)))
+  }
+
+  test("merge of two halves equals the sketch of the union") {
+    val texts = (0 until 600).map(i => s"line $i ${"x" * (i % 7)}")
+    def sketch(ts: Seq[String]): org.apache.spark.sql.DataFrame =
+      Sketches.hllRegisters(ts.map(t => (t, "g")).toDF("text", "grp"), Seq("grp"), "text")
+    val a = sketch(texts.take(300)).select(col("grp"), col("hll").as("ha"))
+    val b = sketch(texts.drop(300)).select(col("grp"), col("hll").as("hb"))
+    val merged = a.join(b, "grp")
+      .select(Sketches.hllMerge(col("ha"), col("hb")).as("hll"))
+      .head().getSeq[Int](0)
+    val whole = sketch(texts).select(col("hll")).head().getSeq[Int](0)
+    assert(merged == whole)
+  }
+
+  test("estimate within the HLL error envelope at several cardinalities") {
+    // m=64 → standard error 1.04/√64 = 13%; allow 4σ plus small-range slack
+    Seq(200, 1000, 5000).foreach { n =>
+      val df = (0 until n).map(i => (s"unique-value-$i-${i * 101}", "g"))
+        .toDF("text", "grp")
+      val est = Sketches.hllRegisters(df, Seq("grp"), "text")
+        .select(Sketches.hllEstimate(col("hll"))).head().getLong(0)
+      assert(math.abs(est - n).toDouble / n < 0.52, s"n=$n est=$est")
+    }
+  }
+
+  test("duplicates do not move the estimate; NULLs contribute nothing") {
+    val uniq = (0 until 300).map(i => s"u$i")
+    val base = uniq.map(t => (t, "g")).toDF("text", "grp")
+    val dupes = (uniq ++ uniq ++ uniq).map(t => (t, "g")).toDF("text", "grp")
+      .unionByName(Seq((null: String, "g")).toDF("text", "grp"))
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      Sketches.hllRegisters(df, Seq("grp"), "text")
+        .select(Sketches.hllEstimate(col("hll"))).head().getLong(0)
+    assert(est(base) == est(dupes))
+  }
+
+  test("corrected estimator falls back to linear counting when near-empty") {
+    val df = Seq(("a", "g"), ("b", "g"), ("c", "g")).toDF("text", "grp")
+    val corrected = Sketches.hllRegisters(df, Seq("grp"), "text")
+      .select(Sketches.hllEstimateCorrected(col("hll"))).head().getLong(0)
+    assert(corrected >= 1 && corrected <= 10, s"corrected=$corrected")
+  }
+}
