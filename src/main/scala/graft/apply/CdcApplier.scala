@@ -117,41 +117,71 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
           .drop("_off")
       }
     // micro-batch-sized by construction (O2's 500-file-cap analog) —
-    // cached because four independent jobs consume it below.
+    // cached because the jobs below consume it twice.
     val fenced = fencedRaw.cache()
     try {
-      // ---- 2. ONE stats job: per-part offsets + lineage counts (all
-      // metadata-scale — one row per source partition; the batch's repo
-      // set stays distributed, see step 4). ----
-      val offRows = fenced.groupBy(col("part")).agg(
-        max(col("seq")).as("s"),
-        sum(when(col("op") === Op.Delete, 1L).otherwise(0L)).as("d"),
-        sum(when(col("op") =!= Op.Delete, 1L).otherwise(0L)).as("u")).collect()
-      if (offRows.isEmpty) { // nothing new: idempotent no-op path
-        return lake.currentSnapshot.map(_.version).getOrElse(
+      val snap = lake.currentSnapshot
+
+      // ---- 2+4 fused: ONE job over the fenced batch computes BOTH the
+      // per-part offset stats AND the touched-file index set. Each task
+      // locally aggregates (part → max seq, delete/upsert counts) and
+      // matches its locally-deduped repos against the broadcast interval
+      // index ([[graft.lake.RepoIntervalIndex]] — the batch's repo set
+      // never reaches the driver); it emits one row per source partition
+      // plus one per touched file index, so the collect is
+      // metadata-scale and shuffle-free. Splitting these into separate
+      // stats + prune jobs (the r2 shape) paid one extra pass over the
+      // cached batch plus two tiny exchanges of per-batch fixed latency
+      // — at 10^6 micro-batches that fixed cost IS the throughput. ----
+      val idxBc = snap.filter(_.files.nonEmpty).map(s => spark.sparkContext.broadcast(
+        graft.lake.RepoIntervalIndex(s.files.map(f => (f.minRepo, f.maxRepo)))))
+      val opDelete = Op.Delete
+      val fusedRows = fenced
+        .select(col("part").cast("string"), col("seq").cast("long"),
+          col("op").cast("string"), col("repo").cast("string"))
+        .as[(String, Long, String, String)]
+        .mapPartitions { it =>
+          val stats = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+          val ix = idxBc.map(_.value)
+          val seen = new java.util.HashSet[String]()
+          val hit = new java.util.BitSet(ix.map(_.size).getOrElse(0))
+          it.foreach { case (part, seq, op, repo) =>
+            val a = stats.getOrElseUpdate(part, Array(Long.MinValue, 0L, 0L))
+            if (seq > a(0)) a(0) = seq
+            if (op == opDelete) a(1) += 1 else a(2) += 1
+            ix.foreach { i => if (seen.add(repo)) i.collectTouched(repo, hit) }
+          }
+          val touchedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var b = hit.nextSetBit(0)
+          while (b >= 0) { touchedIdx += b; b = hit.nextSetBit(b + 1) }
+          stats.iterator.map { case (p, a) => (false, p, a(0), a(1), a(2)) } ++
+            touchedIdx.iterator.map(i => (true, "", i.toLong, 0L, 0L))
+        }.collect()
+      idxBc.foreach(_.unpersist())
+      val statRows = fusedRows.filter(!_._1)
+      if (statRows.isEmpty) { // nothing new: idempotent no-op path
+        return snap.map(_.version).getOrElse(
           lake.commit(batchId, committed, graft.core.Model.lakeSchemaV1, Nil, Nil))
       }
-      val newOffsets = committed ++ offRows.map(r => r.getString(0) -> r.getLong(1))
-        .map { case (p, s) => p -> math.max(s, committed.getOrElse(p, Long.MinValue)) }
-      val deletes = offRows.map(_.getLong(2)).sum
-      val upserts = offRows.map(_.getLong(3)).sum
+      val newOffsets = committed ++ statRows.groupBy(_._2).map { case (p, rs) =>
+        p -> math.max(rs.map(_._3).max, committed.getOrElse(p, Long.MinValue)) }
+      val deletes = statRows.map(_._4).sum
+      val upserts = statRows.map(_._5).sum
+      val touchedIdx = fusedRows.filter(_._1).map(_._3.toInt).toSet
 
       // ---- 3. schema evolution: promote new value columns. ----
-      val curSchema = lake.currentSnapshot.map(_.schema).getOrElse(StructType(Nil))
+      val curSchema = snap.map(_.schema).getOrElse(StructType(Nil))
       val eventValueFields = fenced.schema.fields
         .filterNot(f => metaCols.contains(f.name))
       val evolved = StructType(
         curSchema.fields.filterNot(f => metaCols.contains(f.name)) ++
           eventValueFields.filterNot(f => curSchema.fieldNames.contains(f.name)))
 
-      // ---- 4. manifest pruning: touched vs retained files. The repo set
-      // is matched against the broadcast interval index on executors —
-      // only touched file indices come back to the driver (a driver-side
-      // collect_set(repo) would OOM at millions of repos/batch). ----
-      val snap = lake.currentSnapshot
-      val (touched, retained) = snap.map(
-          lake.pruneFilesDistributed(_, fenced.select(col("repo"))))
-        .getOrElse((Nil, Nil))
+      // ---- touched vs retained files, from the fused index set. ----
+      val (touched, retained) = snap.map { s =>
+        val parts = s.files.zipWithIndex.partition { case (_, i) => touchedIdx(i) }
+        (parts._1.map(_._1), parts._2.map(_._1))
+      }.getOrElse((Nil, Nil))
 
       // ---- 5. MERGE: union + one LWW hash-agg (no join, ONE shuffle;
       // subsumes in-batch dedup). ----

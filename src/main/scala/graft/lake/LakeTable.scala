@@ -132,36 +132,13 @@ class LakeTable(val root: String, spark: SparkSession,
       : (Seq[FileEntry], Seq[FileEntry]) = {
     if (snap.files.isEmpty) return (Nil, Nil)
     import spark.implicits._
-    val n = snap.files.size
-    val order = snap.files.indices.sortBy(snap.files(_).minRepo).toArray
-    val sMin = order.map(snap.files(_).minRepo)
-    val sMax = order.map(snap.files(_).maxRepo)
-    val prefMax = new Array[String](n)
-    var i = 0
-    while (i < n) {
-      prefMax(i) = if (i == 0) sMax(0)
-        else if (sMax(i) > prefMax(i - 1)) sMax(i) else prefMax(i - 1)
-      i += 1
-    }
-    val bc = spark.sparkContext.broadcast((sMin, sMax, prefMax, order))
+    val bc = spark.sparkContext.broadcast(
+      RepoIntervalIndex(snap.files.map(f => (f.minRepo, f.maxRepo))))
     val touched = repos.as[String].mapPartitions { it =>
-      val (mn, mx, pm, ord) = bc.value
+      val ix = bc.value
       val seen = new java.util.HashSet[String]()
-      val hit = new java.util.BitSet(mn.length)
-      it.foreach { r =>
-        if (seen.add(r)) {
-          var lo = 0; var hi = mn.length - 1; var pos = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (mn(mid) <= r) { pos = mid; lo = mid + 1 } else hi = mid - 1
-          }
-          var j = pos
-          while (j >= 0 && pm(j) >= r) {
-            if (mx(j) >= r) hit.set(ord(j))
-            j -= 1
-          }
-        }
-      }
+      val hit = new java.util.BitSet(ix.size)
+      it.foreach { r => if (seen.add(r)) ix.collectTouched(r, hit) }
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       var b = hit.nextSetBit(0)
       while (b >= 0) { out += b; b = hit.nextSetBit(b + 1) }

@@ -231,12 +231,12 @@ object Dedup {
       threshold: Double, nPlanes: Int = 8, probeBits: Int = 0): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     // three consumers (both join branches + the verify re-join) —
-    // materialize once, recomputable on loss
-    val base = df.select(col(idCol).as("id"),
+    // materialize once, recomputable on loss; registered with OpCaches
+    // so long-lived sessions can release it ([[OpCaches.unpersistAll]])
+    val base = OpCaches.track(df.select(col(idCol).as("id"),
         Similarity.quantize(col(vecCol)).as("qv"))
       .withColumn("bucket", Similarity.lshBucketQ(col("qv"), nPlanes, dim))
-      .withColumn("aa", Similarity.qdot(col("qv"), col("qv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("aa", Similarity.qdot(col("qv"), col("qv"))))
     val a = base.select(col("id").as("id_a"),
       explode(Similarity.probeBuckets(col("bucket"), nPlanes, probeBits)).as("bucket"))
     val b = base.select(col("id").as("id_b"), col("bucket"))

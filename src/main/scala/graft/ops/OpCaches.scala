@@ -1,0 +1,38 @@
+package graft.ops
+
+import java.lang.ref.WeakReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Lifetime management for DataFrames the sketch operators persist
+  * internally (e.g. [[Dedup.embeddingNearDup]]'s shared base relation,
+  * which feeds both candidate-join branches AND the verify re-join, so
+  * exchange reuse alone cannot cover it).
+  *
+  * An operator cannot unpersist its own intermediate — the returned
+  * DataFrame is lazy and the cache must outlive the caller's action — so
+  * operators register persisted relations here and a long-lived session
+  * calls [[unpersistAll]] after consuming results (Bench/Verify do this
+  * between queries) instead of nuking every cache in the session with
+  * `spark.catalog.clearCache()`. References are weak: a collected
+  * DataFrame drops out of the registry without pinning block-manager
+  * entries to JVM lifetime. */
+object OpCaches {
+
+  private val tracked =
+    scala.collection.mutable.ArrayBuffer.empty[WeakReference[DataFrame]]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for later release. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    tracked += new WeakReference(df.persist(StorageLevel.MEMORY_AND_DISK))
+    df
+  }
+
+  /** Unpersist every still-reachable tracked relation and clear the
+    * registry. Safe to call at any time — Spark recomputes on demand. */
+  def unpersistAll(): Unit = synchronized {
+    tracked.foreach(r => Option(r.get).foreach(_.unpersist(blocking = false)))
+    tracked.clear()
+  }
+}

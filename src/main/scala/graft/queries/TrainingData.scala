@@ -69,9 +69,8 @@ object TrainingData {
     * ngramJaccard(text_a, text_b) after the join shingled every document
     * twice (once per side it appears on). */
   def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir).select(col("doc_id"),
-      graft.ops.TextAnalysis.shingles(col("text"), 5).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.ops.OpCaches.track(docs(spark, dir).select(col("doc_id"),
+      graft.ops.TextAnalysis.shingles(col("text"), 5).as("sh")))
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
       col("sh").as("sh_b"))
