@@ -167,7 +167,16 @@ class LakeTable(val root: String, spark: SparkSession,
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
     df.sortWithinPartitions("repo", "path")
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite")
+      // parquet bloom filters on the key columns: row-group-level point
+      // pruning INSIDE files, the layer below the manifest's min/max
+      // ranges \u2014 a key equality scan ([[lookupKeys]]) skips row groups
+      // whose bloom says "definitely absent" without reading data pages.
+      // Sorted-on-write files have tight ranges already; blooms cover the
+      // residual case of a wide file whose range straddles the probe key.
+      .option("parquet.bloom.filter.enabled#repo", "true")
+      .option("parquet.bloom.filter.enabled#path", "true")
+      .parquet(tmp.toString)
     val pls = Files.list(tmp)
     val parts = try pls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -288,6 +297,42 @@ class LakeTable(val root: String, spark: SparkSession,
           else spark.read.schema(s.schema)
             .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
             .filter(col("seq") > afterSeq)
+        (df, live.size, s.files.size)
+      case None =>
+        (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.Model.lakeSchemaV1), 0, 0)
+    }
+  }
+
+  /** Point lookups: read only the rows for the given (repo, path) keys.
+    * Two pruning layers, both metadata-first:
+    *  1. MANIFEST: a file is scanned only if some key falls inside its
+    *     [minKey, maxKey] composite range — conservative because every
+    *     row satisfies repo ≥ minRepo ∧ path ≥ minPath (so the
+    *     concatenated bound is a true lexicographic bound). Driver-side
+    *     over the file list × keys: the API contract is a SMALL key set
+    *     (a service-style point read), not a join — for bulk key sets use
+    *     the MERGE path's distributed pruning.
+    *  2. ROW GROUP: the key-equality predicates push down to parquet,
+    *     where the write-time bloom filters + column min/max skip
+    *     non-matching row groups inside each scanned file.
+    * Returns (rows, filesScanned, filesTotal). */
+  def lookupKeys(keys: Seq[(String, String)], version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val snapOpt = version.map(snapshot).orElse(currentSnapshot)
+    snapOpt match {
+      case Some(s) =>
+        val composite = keys.map { case (r, p) => s"$r $p" }
+        val live = s.files.filter(f =>
+          composite.exists(k => k >= f.minKey && k <= f.maxKey))
+        val df =
+          if (live.isEmpty || keys.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+          else spark.read.schema(s.schema)
+            .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
+            .filter(keys.map { case (r, p) =>
+              col("repo") === r && col("path") === p }.reduce(_ || _))
         (df, live.size, s.files.size)
       case None =>
         (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -113,6 +113,24 @@ object EngineE2E {
       sha2(col("content"), 256).as("content_sha"), col("seq"))
   }
 
+  /** q35 — point lookups under the oracle gate ([[LakeTable.lookupKeys]]):
+    * a service-style read of a small deterministic key set (every 13th
+    * user) against the replayed lake. Manifest composite-key ranges prune
+    * files, parquet bloom filters + min/max prune row groups inside the
+    * survivors; the oracle is the LWW final state restricted to the same
+    * keys. Deleted keys return no row on either side. */
+  def q35PointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val (lake, _) = replayedLake(spark, dir)
+    val uids = spark.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("user_id"), lit(13)) === 0)
+      .select(col("user_id")).distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).sorted
+    val keys = uids.map(u => (s"r${u % 37}", s"p$u")).toSeq
+    val (rows, _, _) = lake.lookupKeys(keys)
+    rows.select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("content_sha"), col("seq"))
+  }
+
   /** q28 — the skew-defense reduce under the oracle gate: the two-phase
     * salted LWW reduce ([[CdcApplier.saltedLwwReduce]], the hot-key path
     * the north rule names) over the changelog, which must be
@@ -218,7 +236,8 @@ object EngineE2E {
     "q27_changes_since" -> q27ChangesSince _,
     "q28_salted_lww" -> q28SaltedLww _,
     "q31_compact_vacuum" -> q31CompactVacuum _,
-    "q33_time_travel" -> q33TimeTravel _)
+    "q33_time_travel" -> q33TimeTravel _,
+    "q35_point_lookup" -> q35PointLookup _)
 
   val oracles: Map[String, String] = Map(
     "q32_observed_rules" ->
@@ -312,6 +331,21 @@ object EngineE2E {
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         | FROM events)
         |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
+    "q35_point_lookup" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        user_id,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'DELETE' AND user_id % 13 = 0""".stripMargin,
     "q33_time_travel" ->
       """SELECT repo, path, commit, lang, content_sha, seq FROM (
         | SELECT concat('r', user_id % 37) AS repo,

@@ -237,4 +237,52 @@ class LakeMetaSpec extends AnyFunSuite {
       assert(r1.map(_.path).toSet == r2.map(_.path).toSet, s"retained for $repos")
     }
   }
+
+  test("point lookup: manifest range pruning + parquet blooms on key columns") {
+    // pinned output partitions → several files with disjoint key ranges
+    val lake = new LakeTable(TestSpark.tmpDir("lakelookup"), spark)
+    val applier = new CdcApplier(lake, spark, clusterPartitions = 8)
+    val ev = ChangeLogGen.events(spark, 3000, 21L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    applier.applyBatch(ev, "pl-0")
+    val snap = lake.currentSnapshot.get
+    assert(snap.files.size >= 4)
+    // a live key: any row of the current state
+    val any = lake.read().select($"repo", $"path").head()
+    val key = (any.getString(0), any.getString(1))
+    val (rows, scanned, total) = lake.lookupKeys(Seq(key))
+    val got = rows.collect()
+    assert(got.length == 1 && got.head.getAs[String]("repo") == key._1)
+    assert(scanned >= 1 && scanned < total,
+      s"manifest ranges must prune a clustered table: $scanned/$total")
+    // a key outside every range scans nothing
+    val (none, scanned0, _) = lake.lookupKeys(Seq(("zzz-absent", "p-x")))
+    assert(none.isEmpty && scanned0 == 0)
+    // write-time bloom filters land in the parquet metadata once the key
+    // cardinality overflows the dictionary page (parquet skips blooms for
+    // fully dictionary-encoded chunks — dictionary filtering already
+    // prunes those exactly, so the bloom only matters at high NDV, which
+    // is precisely the 10^8-keys-per-file regime)
+    val hc = spark.range(80000).select(
+      concat(lit("repo-"), ($"id" % 50).cast("string")).as("repo"),
+      md5(concat(lit("x"), $"id".cast("string"))).as("path"), // 80k uniques > 1MB dict
+      $"id".as("seq"))
+    val bloomLake = new LakeTable(TestSpark.tmpDir("lakebloom"), spark)
+    val entries = bloomLake.writeDataFiles(hc.repartition(2), "bloom")
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val p = java.nio.file.Paths.get(bloomLake.root, entries.head.path)
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val pathCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "path").get
+      assert(reader.getBloomFilterDataReader(block)
+        .readBloomFilter(pathCol) != null, "expected a bloom filter on path")
+    } finally reader.close()
+  }
 }
