@@ -84,7 +84,7 @@ object CdcPipeline {
     val applier = new CdcApplier(lake, spark)
     val version = applier.applyBatch(events, batchId,
       lineageExtras = () =>
-        obsOpt.map(Validate.observedLineage).getOrElse(Map.empty))
+        obsOpt.map(o => Validate.observedLineage(o)).getOrElse(Map.empty))
     (version, dirty)
   }
 

@@ -136,8 +136,14 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       val idxBc = snap.filter(_.files.nonEmpty).map(s => spark.sparkContext.broadcast(
         graft.lake.RepoIntervalIndex(s.files.map(f => (f.minRepo, f.maxRepo)))))
       val opDelete = Op.Delete
+      // seq rides as Long.MinValue when NULL (a boxed-primitive encoder
+      // field would throw on null; the replaced aggregate job silently
+      // ignored null seqs, and MinValue can never win a max); null op
+      // counts as neither delete nor upsert, null repo matches no file —
+      // both preserved from the aggregate-job semantics
       val fusedRows = fenced
-        .select(col("part").cast("string"), col("seq").cast("long"),
+        .select(col("part").cast("string"),
+          coalesce(col("seq").cast("long"), lit(Long.MinValue)),
           col("op").cast("string"), col("repo").cast("string"))
         .as[(String, Long, String, String)]
         .mapPartitions { it =>
@@ -148,8 +154,9 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
           it.foreach { case (part, seq, op, repo) =>
             val a = stats.getOrElseUpdate(part, Array(Long.MinValue, 0L, 0L))
             if (seq > a(0)) a(0) = seq
-            if (op == opDelete) a(1) += 1 else a(2) += 1
-            ix.foreach { i => if (seen.add(repo)) i.collectTouched(repo, hit) }
+            if (op == opDelete) a(1) += 1 else if (op != null) a(2) += 1
+            if (repo != null)
+              ix.foreach { i => if (seen.add(repo)) i.collectTouched(repo, hit) }
           }
           val touchedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
           var b = hit.nextSetBit(0)

@@ -306,25 +306,28 @@ class LakeTable(val root: String, spark: SparkSession,
 
   /** Point lookups: read only the rows for the given (repo, path) keys.
     * Two pruning layers, both metadata-first:
-    *  1. MANIFEST: a file is scanned only if some key falls inside its
-    *     [minKey, maxKey] composite range — conservative because every
-    *     row satisfies repo ≥ minRepo ∧ path ≥ minPath (so the
-    *     concatenated bound is a true lexicographic bound). Driver-side
-    *     over the file list × keys: the API contract is a SMALL key set
-    *     (a service-style point read), not a join — for bulk key sets use
+    *  1. MANIFEST: a file is scanned only if some key's repo falls inside
+    *     its [minRepo, maxRepo] range — per-COLUMN bounds, because the
+    *     concatenated composite "repo path" is NOT a sound lexicographic
+    *     bound when a repo may contain the separator or anything below it
+    *     (minRepo="a", minPath="q" gives minKey="a q", which incorrectly
+    *     prunes the real key ("a b", "x")). Driver-side over the file
+    *     list × keys: the API contract is a SMALL key set (a
+    *     service-style point read), not a join — for bulk key sets use
     *     the MERGE path's distributed pruning.
     *  2. ROW GROUP: the key-equality predicates push down to parquet,
     *     where the write-time bloom filters + column min/max skip
-    *     non-matching row groups inside each scanned file.
+    *     non-matching row groups inside each scanned file (this layer
+    *     prunes on path too).
     * Returns (rows, filesScanned, filesTotal). */
   def lookupKeys(keys: Seq[(String, String)], version: Option[Long] = None)
       : (DataFrame, Int, Int) = {
     val snapOpt = version.map(snapshot).orElse(currentSnapshot)
     snapOpt match {
       case Some(s) =>
-        val composite = keys.map { case (r, p) => s"$r $p" }
+        val repos = keys.map(_._1)
         val live = s.files.filter(f =>
-          composite.exists(k => k >= f.minKey && k <= f.maxKey))
+          repos.exists(r => r >= f.minRepo && r <= f.maxRepo))
         val df =
           if (live.isEmpty || keys.isEmpty)
             spark.createDataFrame(

@@ -103,15 +103,28 @@ object Multimodal {
       * BITMAPINFOHEADER, payload at the declared pixel offset, 1 frame;
       * WAV ("RIFF…WAVE") → sample rate + channels from the fmt chunk,
       * frame count = whole seconds of audio (data bytes / byte rate);
-      * anything else → byte-stat stub with meta-derived frame samples. */
+      * anything else → byte-stat stub with meta-derived frame samples.
+      *
+      * Classification checks structural fields beyond the magic bytes
+      * (BMP: a known info-header size and planes == 1; WAV: the "fmt "
+      * chunk tag) so an opaque payload that merely STARTS with "BM" or
+      * "RIFF" is not misparsed — content sniffing can never be perfect,
+      * but a false positive now needs a coherent header, not two lucky
+      * bytes. */
     def decode(bytes: Array[Byte], meta: MediaMeta): Decoded = {
       val b = if (bytes == null) Array.emptyByteArray else bytes
-      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      def bmpHeaderOk: Boolean =
+        Set(12, 40, 52, 56, 64, 108, 124).contains(readLE32(b, 14)) &&
+          readLE16(b, 26) == 1
+      def wavHeaderOk: Boolean =
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' '
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && bmpHeaderOk) {
         val off = math.min(math.max(readLE32(b, 10), 54), b.length)
         Decoded("bmp", Some(readLE32(b, 18)), Some(readLE32(b, 22)),
           off, 1, byteStats(b, off))
       } else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-          b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+          b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+          wavHeaderOk) {
         val channels = readLE16(b, 22)
         val rate = readLE32(b, 24)
         val byteRate = math.max(1, readLE32(b, 28))

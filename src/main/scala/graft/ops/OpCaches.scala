@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.lang.ref.WeakReference
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -15,24 +13,25 @@ import org.apache.spark.storage.StorageLevel
   * operators register persisted relations here and a long-lived session
   * calls [[unpersistAll]] after consuming results (Bench/Verify do this
   * between queries) instead of nuking every cache in the session with
-  * `spark.catalog.clearCache()`. References are weak: a collected
-  * DataFrame drops out of the registry without pinning block-manager
-  * entries to JVM lifetime. */
+  * `spark.catalog.clearCache()`. References are STRONG on purpose: the
+  * session's CacheManager pins the cached blocks regardless of whether
+  * the DataFrame wrapper is still reachable, so a weak reference would
+  * just lose the only handle that can unpersist them — the registry
+  * itself is the leak guard, and it is emptied on every release. */
 object OpCaches {
 
-  private val tracked =
-    scala.collection.mutable.ArrayBuffer.empty[WeakReference[DataFrame]]
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for later release. */
   def track(df: DataFrame): DataFrame = synchronized {
-    tracked += new WeakReference(df.persist(StorageLevel.MEMORY_AND_DISK))
+    tracked += df.persist(StorageLevel.MEMORY_AND_DISK)
     df
   }
 
-  /** Unpersist every still-reachable tracked relation and clear the
-    * registry. Safe to call at any time — Spark recomputes on demand. */
+  /** Unpersist every tracked relation and clear the registry. Safe to
+    * call at any time — Spark recomputes on demand. */
   def unpersistAll(): Unit = synchronized {
-    tracked.foreach(r => Option(r.get).foreach(_.unpersist(blocking = false)))
+    tracked.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
     tracked.clear()
   }
 }

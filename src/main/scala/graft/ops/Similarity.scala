@@ -180,8 +180,11 @@ object Similarity {
   def ivfTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 2,
       kmeansIters: Int = 1): DataFrame = {
-    val qvecs = corpus.select(col(idCol).cast("long").as("id"),
-      quantize(col(vecCol)).as("qv"))
+    // quantize ONCE and cache: the seed collect, every Lloyd step, and
+    // the final assignment all read the same projection — uncached, each
+    // k-means iteration would rescan and re-quantize the full corpus
+    val qvecs = OpCaches.track(corpus.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv")))
     val seeds: Seq[(Int, Seq[Long])] = qvecs
       .orderBy(col("id")).limit(nCells).collect()
       .sortBy(_.getLong(0))
@@ -190,9 +193,7 @@ object Similarity {
     val cents = (0 until kmeansIters).foldLeft(seeds) { (c, _) =>
       kmeansStep(qvecs.select(col("qv")), c)
     }
-    val c = ivfAssign(
-      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv")),
-      cents)
+    val c = ivfAssign(qvecs.select(col("id").as("neighbor_id"), col("qv")), cents)
       .select(col("neighbor_id"), col("qv"), col("cell"))
     // per-query probe list: the nProbe nearest centroids by the same
     // integer distance, ties toward lower cell id

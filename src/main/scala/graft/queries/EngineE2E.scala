@@ -188,23 +188,20 @@ object EngineE2E {
     import graft.validate.Validate
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val mx = ev.agg(max(col("event_id"))).head().getLong(0)
-    val changes = ev.select(
-      concat(lit("ev-"), col("event_id").cast("string")).as("event_id"),
-      when(col("event_type") === "error", lit("DELETE"))
-        .when(col("event_type") === "signup", lit("INSERT"))
-        .otherwise(lit("UPDATE")).as("op"),
-      pmod(col("user_id"), lit(4)).cast("string").as("part"),
-      concat(lit("r"), pmod(col("user_id"), lit(37)).cast("string")).as("repo"),
-      concat(lit("p"), col("user_id").cast("string")).as("path"),
-      md5(concat(lit("c"), col("event_id").cast("string"))).as("commit"),
-      col("event_type").as("lang"),
-      when(pmod(col("event_id"), lit(41)) === 0, lit(null).cast("string"))
-        .otherwise(col("props")).as("content"),
-      col("event_id").as("seq"),
-      when(pmod(col("user_id"), lit(50)) === 0, lit("other.system"))
-        .otherwise(lit("app.change.log")).as("source"),
-      lit(null).cast("string").as("_corrupt"),
-      lit("{}").as("raw"))
+    // ONE source of truth for the event→changelog mapping: reuse
+    // asChanges and derive the extra columns from its outputs
+    // (seq = event_id, path = "p<user_id>" by construction)
+    val uid = substring(col("path"), 2, 100).cast("long")
+    val changes = asChanges(ev)
+      .withColumn("event_id", concat(lit("ev-"), col("seq").cast("string")))
+      .withColumn("content",
+        when(pmod(col("seq"), lit(41)) === 0, lit(null).cast("string"))
+          .otherwise(col("content")))
+      .withColumn("source",
+        when(pmod(uid, lit(50)) === 0, lit("other.system"))
+          .otherwise(lit("app.change.log")))
+      .withColumn("_corrupt", lit(null).cast("string"))
+      .withColumn("raw", lit("{}"))
     val lakeDir = java.nio.file.Files.createTempDirectory("graft-obs-lake").toString
     val lake = new LakeTable(lakeDir, spark)
     val applier = new CdcApplier(lake, spark)

@@ -24,31 +24,42 @@ object Validate {
 
   import graft.core.Model.Op
 
+  // ---- the individual rules, each defined ONCE (shared by the global
+  // rule set and the per-class registry's envelope — duplicated
+  // predicates would silently diverge) -----------------------------------
+  private val corruptJson = Rule("corrupt_json", col("_corrupt").isNull)
+  private val missingEventId = Rule("missing_event_id", col("event_id").isNotNull)
+  private val missingOp = Rule("missing_op", col("op").isNotNull)
+  private val opNotInEnum =
+    Rule("op_not_in_enum", col("op").isNull || col("op").isin(Op.all: _*))
+  private val missingSeq = Rule("missing_seq", col("seq").isNotNull)
+  private val negativeSeq = Rule("negative_seq", col("seq").isNull || col("seq") >= 0)
+  private val missingRepo =
+    Rule("missing_repo", col("repo").isNotNull && length(col("repo")) > 0)
+  private val missingPath =
+    Rule("missing_path", col("path").isNotNull && length(col("path")) > 0)
+  // offsets key: events must say which binlog shard they came from
+  private val missingPart = Rule("missing_part", col("part").isNotNull)
+  // commit resolvable from either schema variant (v1 composite or v2):
+  private val unresolvableCommit =
+    Rule("unresolvable_commit", col("commit").isNotNull)
+  // content required for upserts, irrelevant for deletes:
+  private val missingContent = Rule("missing_content",
+    col("op").isNull || col("op") === Op.Delete || col("content").isNotNull)
+  // wrong-source discard (P1, `data_profiling.py:154-157`) is modeled as
+  // a rule so discards are observable in the quarantine table;
+  // exact-match fast path first: ICU-backed lower() is per-row expensive
+  // in Spark 4, and virtually every row matches exactly
+  private val wrongSource = Rule("wrong_source",
+    col("source").isNull || col("source") === "app.change.log" ||
+      lower(col("source")) === "app.change.log")
+
   /** Rule set for parsed change events (the Cerberus-semantics analog:
     * required / nullable / enum / type / cross-field). */
   def changeEventRules: Seq[Rule] = Seq(
-    Rule("corrupt_json", col("_corrupt").isNull),
-    Rule("missing_event_id", col("event_id").isNotNull),
-    Rule("missing_op", col("op").isNotNull),
-    Rule("op_not_in_enum", col("op").isNull || col("op").isin(Op.all: _*)),
-    Rule("missing_seq", col("seq").isNotNull),
-    Rule("negative_seq", col("seq").isNull || col("seq") >= 0),
-    Rule("missing_repo", col("repo").isNotNull && length(col("repo")) > 0),
-    Rule("missing_path", col("path").isNotNull && length(col("path")) > 0),
-    // commit resolvable from either schema variant (v1 composite or v2):
-    Rule("unresolvable_commit", col("commit").isNotNull),
-    // offsets key: events must say which binlog shard they came from
-    Rule("missing_part", col("part").isNotNull),
-    // content required for upserts, irrelevant for deletes:
-    Rule("missing_content",
-      col("op").isNull || col("op") === Op.Delete || col("content").isNotNull),
-    // wrong-source discard (P1, `data_profiling.py:154-157`) is modeled
-    // as a rule so discards are observable in the quarantine table:
-    // exact-match fast path first: ICU-backed lower() is per-row
-    // expensive in Spark 4, and virtually every row matches exactly
-    Rule("wrong_source",
-      col("source").isNull || col("source") === "app.change.log" ||
-        lower(col("source")) === "app.change.log"))
+    corruptJson, missingEventId, missingOp, opNotInEnum, missingSeq,
+    negativeSeq, missingRepo, missingPath, unresolvableCommit, missingPart,
+    missingContent, wrongSource)
 
   /** Compile rules to a single `array<string>` errors column. */
   def errorsColumn(rules: Seq[Rule]): Column =
@@ -112,20 +123,12 @@ object Validate {
   }
 
   /** Envelope rules shared by every class (the common envelope block all
-    * six reference schemas repeat, e.g. `microone_prediction.json:2-32`). */
+    * six reference schemas repeat, e.g. `microone_prediction.json:2-32`)
+    * — the same Rule instances as [[changeEventRules]], minus the
+    * commit/content rules the class variants own. */
   def envelopeRules: Seq[Rule] = Seq(
-    Rule("corrupt_json", col("_corrupt").isNull),
-    Rule("missing_event_id", col("event_id").isNotNull),
-    Rule("missing_op", col("op").isNotNull),
-    Rule("op_not_in_enum", col("op").isNull || col("op").isin(Op.all: _*)),
-    Rule("missing_seq", col("seq").isNotNull),
-    Rule("negative_seq", col("seq").isNull || col("seq") >= 0),
-    Rule("missing_repo", col("repo").isNotNull && length(col("repo")) > 0),
-    Rule("missing_path", col("path").isNotNull && length(col("path")) > 0),
-    Rule("missing_part", col("part").isNotNull),
-    Rule("wrong_source",
-      col("source").isNull || col("source") === "app.change.log" ||
-        lower(col("source")) === "app.change.log"))
+    corruptJson, missingEventId, missingOp, opNotInEnum, missingSeq,
+    negativeSeq, missingRepo, missingPath, missingPart, wrongSource)
 
   /** The engine's default registry: one class per (known lang) ×
     * (upsert | delete), each with the two envelope variants on RAW wire
@@ -215,10 +218,19 @@ object Validate {
   }
 
   /** Lineage-map entries from a completed observation: per-rule counts
-    * keyed `rule.<name>` plus `parsed` / `quarantined`. Empty if no
-    * action has materialized the observed plan yet (non-blocking — reads
-    * the already-completed future rather than awaiting one). */
-  def observedLineage(obs: org.apache.spark.sql.Observation): Map[String, Long] =
+    * keyed `rule.<name>` plus `parsed` / `quarantined`.
+    *
+    * Spark delivers observed metrics on the ASYNC listener bus, so even
+    * after the materializing action has returned the future may complete
+    * a few ms later — a non-blocking read here silently dropped the
+    * rule counts from the committed (immutable) manifest under listener
+    * load. A bounded await closes the race; the timeout covers the
+    * pathological caller that never ran an action (future never
+    * completes), returning empty rather than hanging the commit path. */
+  def observedLineage(obs: org.apache.spark.sql.Observation,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(10, "s")): Map[String, Long] = {
+    scala.util.Try(scala.concurrent.Await.ready(obs.future, timeout))
     obs.future.value.flatMap(_.toOption).map { row =>
       row.schema.fieldNames.map { k =>
         val n = Option(row.getAs[Any](k))
@@ -226,4 +238,5 @@ object Validate {
         (if (k == "parsed" || k == "quarantined") k else s"rule.$k") -> n
       }.toMap
     }.getOrElse(Map.empty)
+  }
 }
