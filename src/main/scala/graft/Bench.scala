@@ -127,7 +127,7 @@ object Bench {
         // sketch queries persist() intermediates they cannot unpersist
         // themselves; drop them so they don't pin memory under (and leak
         // plan-matched cache hits into) later queries' timings
-        graft.ops.OpCaches.unpersistAll()
+        graft.ops.OpCaches.unpersistAll(spark)
         spark.sharedState.cacheManager.clearCache()
         (name, sec, err)
       }

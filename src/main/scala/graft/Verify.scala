@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // sketch queries persist() intermediates; don't let them accumulate
-      graft.ops.OpCaches.unpersistAll()
+      graft.ops.OpCaches.unpersistAll(spark)
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -162,7 +162,15 @@ class LakeTable(val root: String, spark: SparkSession,
     * footers), so commit latency stays flat as the per-batch output-file
     * count grows; the driver's only per-file work is the rename into
     * `data/` (a metadata op). Iceberg collects stats in its write tasks
-    * for the same reason. */
+    * for the same reason.
+    *
+    * Filesystem contract: the task-side footer job requires that
+    * EXECUTORS can open the staged files \u2014 true for any shared
+    * filesystem (HDFS/S3/NFS) and for local mode. When the table root is
+    * a bare `file:` path AND executors are remote (a real cluster
+    * without a shared mount), tasks could not see the driver's local
+    * disk, so the footer reads fall back to a driver-side loop \u2014 the
+    * same stats, collected where the files are visible. */
   def writeDataFiles(df: DataFrame, label: String): Seq[FileEntry] = {
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
@@ -181,9 +189,17 @@ class LakeTable(val root: String, spark: SparkSession,
     val parts = try pls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       finally pls.close()
+    // local-path staging is only task-visible when executors share the
+    // driver's filesystem (local mode, or a mounted FS); remote
+    // executors + a plain file: root → collect stats driver-side
+    val localOnlyStage = tmp.toUri.getScheme == "file" || tmp.toUri.getScheme == null
+    val taskSide = spark.sparkContext.isLocal || !localOnlyStage
     val stats: Map[String, (Long, String, String, String, String, Long, Long)] =
       if (parts.isEmpty) Map.empty
-      else {
+      else if (!taskSide) {
+        val conf = spark.sessionState.newHadoopConf()
+        parts.map(p => p.toString -> LakeTable.footerStats(p, conf)).toMap
+      } else {
         import spark.implicits._
         // ship the session's Hadoop conf (FS credentials) to the tasks
         val confBc = spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(

@@ -76,11 +76,13 @@ object Dedup {
     * N chars of the text (0 = full text) — a cost/recall knob the caller
     * chooses explicitly, mirrored in the DuckDB oracle.
     *
-    * The (id, band, bucket) relation feeds both self-join branches, but
-    * needs no persist: the two branches shuffle the IDENTICAL subplan on
-    * the identical keys, so exchange/stage reuse computes the signature
-    * once and reads the shuffle output twice (no pinned cache blocks left
-    * behind in long-lived sessions). The verify stage is semi-joined to
+    * The (id, band, bucket) relation feeds both self-join branches and is
+    * persisted ([[OpCaches.track]], released by the session between
+    * queries): exchange reuse covers the two branches only while BOTH
+    * plan as shuffle joins — if AQE converts the self-join or the verify
+    * semi-join to a broadcast at runtime, the reused exchange disappears
+    * and the signature subplan would recompute per branch. The verify
+    * stage is semi-joined to
     * the surviving candidate ids BEFORE shingling, so its shuffle is
     * O(candidates), never O(corpus) — when candidates ≈ 0 the verify is
     * free. AQE turns the semi-join into a broadcast at runtime when the
@@ -110,13 +112,14 @@ object Dedup {
         min(pmod(col("a") * 1 + col("b"), lit(MinhashM))).as("h0"),
         (1 until numHashes).map(h =>
           min(pmod(col("a") * (2 * h + 1) + col("b"), lit(MinhashM))).as(s"h$h")): _*)
-    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+    val banded = OpCaches.track(
+      sig.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
             (b * rowsPerBand until (b + 1) * rowsPerBand)
               .map(h => col(s"h$h").cast("string")): _*)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))

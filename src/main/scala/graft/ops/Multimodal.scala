@@ -33,9 +33,13 @@ object Multimodal {
 
     /** What a decode yields: detected format, two format dims (BMP
       * width/height; WAV sample-rate/channels), where the payload starts
-      * (header length), frame count, and a small feature vector. */
+      * (header length), how long it is (the DECLARED chunk size clamped
+      * to what's physically present — a WAV with trailing LIST/INFO
+      * chunks must not hash them as audio), frame count, and a small
+      * feature vector. */
     case class Decoded(fmt: String, dimA: Option[Int], dimB: Option[Int],
-        payloadOffset: Int, frameCount: Int, features: Array[Float])
+        payloadOffset: Int, payloadLen: Int, frameCount: Int,
+        features: Array[Float])
 
     private def writeLE32(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
@@ -88,14 +92,14 @@ object Multimodal {
       out
     }
 
-    /** Deterministic byte-stat features over `bytes[from..)` — the
-      * DSP-stub part (no codec libraries in this container). */
-    private def byteStats(bytes: Array[Byte], from: Int): Array[Float] = {
-      val n = bytes.length - from
+    /** Deterministic byte-stat features over `bytes[from, from+len)` —
+      * the DSP-stub part (no codec libraries in this container). */
+    private def byteStats(bytes: Array[Byte], from: Int, len: Int): Array[Float] = {
+      val n = math.min(len, bytes.length - from)
       if (n <= 0) return Array.fill(8)(0f)
       val sums = new Array[Long](8)
       var i = from
-      while (i < bytes.length) { sums((i - from) % 8) += bytes(i) & 0xff; i += 1 }
+      while (i < from + n) { sums((i - from) % 8) += bytes(i) & 0xff; i += 1 }
       sums.map(s => (s.toDouble / n).toFloat)
     }
 
@@ -121,31 +125,35 @@ object Multimodal {
       if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && bmpHeaderOk) {
         val off = math.min(math.max(readLE32(b, 10), 54), b.length)
         Decoded("bmp", Some(readLE32(b, 18)), Some(readLE32(b, 22)),
-          off, 1, byteStats(b, off))
+          off, b.length - off, 1, byteStats(b, off, b.length - off))
       } else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
           wavHeaderOk) {
         val channels = readLE16(b, 22)
         val rate = readLE32(b, 24)
         val byteRate = math.max(1, readLE32(b, 28))
-        val dataLen = (b.length - 44).toLong
-        Decoded("wav", Some(rate), Some(channels), 44,
-          math.max(1L, dataLen / byteRate).toInt, byteStats(b, 44))
+        // the DECLARED data-chunk size (canonical header puts the data
+        // chunk at 36, size at 40), clamped to the bytes physically
+        // present (truncated file): trailing LIST/INFO chunks or padding
+        // after the data chunk are neither audio frames nor payload
+        val dataLen = math.max(0, math.min(readLE32(b, 40), b.length - 44))
+        Decoded("wav", Some(rate), Some(channels), 44, dataLen,
+          math.max(1L, dataLen.toLong / byteRate).toInt, byteStats(b, 44, dataLen))
       } else {
         val frames =
           if (meta != null && meta.durationMs > 0)
             math.max(1, (meta.durationMs / 1000).toInt) else 1
-        Decoded("raw", None, None, 0, frames, byteStats(b, 0))
+        Decoded("raw", None, None, 0, b.length, frames, byteStats(b, 0, b.length))
       }
     }
   }
 
   /** Batch feature extraction: one pass per partition, digest + decoder
     * initialized once per partition (the expensive-init pattern of
-    * mapInPandas). `payloadSha` hashes the DECODED payload (bytes after
-    * the parsed header) — a byte-exact end-to-end gate on the header
-    * parse: a wrong offset or endianness shifts the payload slice and
-    * breaks the hash. */
+    * mapInPandas). `payloadSha` hashes the DECODED payload (the parsed
+    * header's declared payload slice) — a byte-exact end-to-end gate on
+    * the header parse: a wrong offset, length, or endianness shifts the
+    * payload slice and breaks the hash. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -155,7 +163,9 @@ object Multimodal {
         val d = MediaCodec.decode(bytes, r.meta)
         digest.reset()
         val sha = digest.digest(java.util.Arrays.copyOfRange(
-          bytes, d.payloadOffset, bytes.length)).map("%02x".format(_)).mkString
+          bytes, d.payloadOffset,
+          math.min(bytes.length, d.payloadOffset + d.payloadLen)))
+          .map("%02x".format(_)).mkString
         MediaFeatures(r.mediaId, d.fmt, d.dimA, d.dimB, bytes.length.toLong,
           sha, d.features, d.frameCount)
       }

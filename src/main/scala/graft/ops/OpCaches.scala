@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Lifetime management for DataFrames the sketch operators persist
@@ -17,21 +17,40 @@ import org.apache.spark.storage.StorageLevel
   * session's CacheManager pins the cached blocks regardless of whether
   * the DataFrame wrapper is still reachable, so a weak reference would
   * just lose the only handle that can unpersist them — the registry
-  * itself is the leak guard, and it is emptied on every release. */
+  * itself is the leak guard, and it is emptied on every release.
+  *
+  * The registry is keyed PER SparkSession: `unpersistAll()` releases only
+  * the calling session's tracked caches, so one session's between-query
+  * cleanup (Bench/Verify) can never evict a cache an unrelated concurrent
+  * session is still consuming. Sessions that never call [[unpersistAll]]
+  * keep their entries until the map entry is dropped with the session
+  * (weak session keys — the DataFrames die with their session anyway). */
 object OpCaches {
 
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.ArrayBuffer[DataFrame]]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for later release. */
+  /** Persist `df` (MEMORY_AND_DISK) and register it for later release by
+    * its own session. */
   def track(df: DataFrame): DataFrame = synchronized {
-    tracked += df.persist(StorageLevel.MEMORY_AND_DISK)
+    val buf = {
+      val existing = bySession.get(df.sparkSession)
+      if (existing != null) existing
+      else {
+        val b = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        bySession.put(df.sparkSession, b)
+        b
+      }
+    }
+    buf += df.persist(StorageLevel.MEMORY_AND_DISK)
     df
   }
 
-  /** Unpersist every tracked relation and clear the registry. Safe to
-    * call at any time — Spark recomputes on demand. */
-  def unpersistAll(): Unit = synchronized {
-    tracked.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
-    tracked.clear()
+  /** Unpersist every relation tracked by `session` and clear its
+    * registry. Safe to call at any time — Spark recomputes on demand. */
+  def unpersistAll(session: SparkSession): Unit = synchronized {
+    val buf = bySession.remove(session)
+    if (buf != null) buf.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
   }
 }

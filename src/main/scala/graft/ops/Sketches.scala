@@ -53,22 +53,36 @@ object Sketches {
 
   /** HLL register vector per key group: `hll` = array of 2^p ints, entry
     * j = max rank observed in register j (0 = register never hit — which
-    * is exactly the M=0 the estimator expects). ONE hash aggregate with
-    * map-side combine; NULL texts contribute nothing (mirroring a SQL
-    * oracle's semantics). The vector is the mergeable sketch state. */
+    * is exactly the M=0 the estimator expects). NULL texts contribute
+    * nothing (mirroring a SQL oracle's semantics). The vector is the
+    * mergeable sketch state.
+    *
+    * Plan shape: TWO-LEVEL aggregation — (key, register) → max rank,
+    * both map-side combined, then one tiny per-key aggregate packs the
+    * register list into the fixed-size vector. A single aggregate with
+    * 2^p `max(when(reg=j, rank))` columns would be ~m aggregate
+    * EXPRESSIONS: at p≥10 that is a 1000+-column plan (codegen blowup,
+    * plan-size explosion). The two-level shape keeps the plan O(1) in p;
+    * both exchanges move O(groups × 2^p) rows — the same volume the
+    * register vectors themselves occupy. */
   def hllRegisters(df: DataFrame, keyCols: Seq[String], textCol: String,
       p: Int = 6): DataFrame = {
-    require(p >= 2 && p <= 12, s"p out of range: $p")
+    require(p >= 2 && p <= 14, s"p out of range: $p")
     val m = 1 << p
     val (reg, rank) = regAndRank(col(textCol), p)
-    val perDoc = df.filter(col(textCol).isNotNull)
-      .select(keyCols.map(col) :+ reg.as("_reg") :+ rank.as("_rank"): _*)
-    val regAggs = (0 until m).map(j =>
-      max(when(col("_reg") === j, col("_rank"))).as(s"_m$j"))
-    perDoc.groupBy(keyCols.map(col): _*)
-      .agg(regAggs.head, regAggs.tail: _*)
+    val perReg = df.filter(col(textCol).isNotNull)
+      .select(keyCols.map(col) :+ reg.cast("int").as("_reg") :+
+        rank.cast("int").as("_rank"): _*)
+      .groupBy((keyCols :+ "_reg").map(col): _*)
+      .agg(max(col("_rank")).as("_m"))
+    // register ids are distinct per key by the grouping, so the map is
+    // well-defined; entry order in collect_list is irrelevant to it
+    perReg.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(col("_reg"), col("_m"))).as("_pairs"))
       .select(keyCols.map(col) :+
-        array((0 until m).map(j => coalesce(col(s"_m$j"), lit(0))): _*).as("hll"): _*)
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          coalesce(element_at(map_from_entries(col("_pairs")), j.cast("int")),
+            lit(0))).as("hll"): _*)
   }
 
   /** Merge two sketches (same p): element-wise max. The union sketch of

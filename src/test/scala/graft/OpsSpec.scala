@@ -229,7 +229,17 @@ class OpsSpec extends AnyFunSuite {
       'd', 'a', 't', 'a', 4, 0, 0, 0, 9, 9, 9, 9)).map(_.toByte)
     val dw = MediaCodec.decode(wav, null)
     assert(dw.fmt == "wav" && dw.dimA.contains(44100) && dw.dimB.contains(2))
-    assert(dw.payloadOffset == 44 && dw.frameCount == 1)
+    assert(dw.payloadOffset == 44 && dw.payloadLen == 4 && dw.frameCount == 1)
+    // a valid WAV with a trailing LIST chunk: the DECLARED data size (4)
+    // bounds the payload slice and frame count — trailing chunk bytes are
+    // neither audio frames nor payload
+    val wavTrail: Array[Byte] = wav ++
+      Array[Int]('L', 'I', 'S', 'T', 4, 0, 0, 0, 1, 2, 3, 4).map(_.toByte)
+    val dt = MediaCodec.decode(wavTrail, null)
+    assert(dt.fmt == "wav" && dt.payloadLen == 4 && dt.frameCount == 1)
+    // truncated file: declared size clamps to what is physically present
+    val wavTrunc = wav.dropRight(2)
+    assert(MediaCodec.decode(wavTrunc, null).payloadLen == 2)
     // encoder round-trips through the decoder
     val rt = MediaCodec.decode(MediaCodec.encodeBmp(640, 480, Array[Byte](7, 8)), null)
     assert(rt.dimA.contains(640) && rt.dimB.contains(480))

@@ -41,6 +41,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.sameElements(refRegisters(texts, 6)))
   }
 
+  test("p=12: two-level aggregation matches the reference, plan stays O(1) in p") {
+    val texts = (0 until 2000).map(i => s"wide doc $i body ${i * 13}")
+    val df = texts.map(t => (t, "g")).toDF("text", "grp")
+    val sk = Sketches.hllRegisters(df, Seq("grp"), "text", p = 12)
+    assert(sk.select(col("hll")).head().getSeq[Int](0).toArray
+      .sameElements(refRegisters(texts, 12)))
+    // the old shape was 2^p max(when(reg=j)) aggregate columns — a 4096-
+    // expression plan at p=12; the (key, reg) two-level shape must not be
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(!plan.contains("_m4095"), "plan must not enumerate registers as columns")
+  }
+
   test("merge of two halves equals the sketch of the union") {
     val texts = (0 until 600).map(i => s"line $i ${"x" * (i % 7)}")
     def sketch(ts: Seq[String]): org.apache.spark.sql.DataFrame =

@@ -10,10 +10,25 @@ import graft.streaming.CdcStream
 /** Streaming tail: the file-source drain applies the same final state as
   * the batch path, and an appended second wave is picked up incrementally
   * from the checkpoint. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  /** Drive an AvailableNow query to completion AND fully stop it before
+    * returning: a query left mid-planning when the shared session shuts
+    * down at JVM exit logs an async `MicroBatchExecution` ERROR on the
+    * listener bus (it cannot fail the suite, but it would page someone in
+    * a production harness). */
+  private def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.awaitTermination(120000)
+    finally { q.stop(); q.awaitTermination() }
+
+  override def afterAll(): Unit =
+    // belt-and-braces: no stream of this suite may outlive it
+    spark.streams.active.foreach { q =>
+      scala.util.Try { q.stop(); q.awaitTermination() }
+    }
 
   private def canonical(n: Long, lo: Long, hi: Long) =
     ChangeLogGen.events(spark, n, seed = 11L)
@@ -31,14 +46,14 @@ class StreamingSpec extends AnyFunSuite {
     // wave 1
     canonical(n, 0, n / 2).write.mode("append").parquet(inDir)
     val q1 = CdcStream.start(spark, inDir, lake, ckDir)
-    q1.awaitTermination(120000)
+    awaitAndStop(q1)
     val afterWave1 = lake.read().count()
     assert(afterWave1 > 0)
 
     // wave 2 appended; new stream instance resumes from checkpoint
     canonical(n, n / 2, n).write.mode("append").parquet(inDir)
     val q2 = CdcStream.start(spark, inDir, lake, ckDir)
-    q2.awaitTermination(120000)
+    awaitAndStop(q2)
 
     // oracle: sequential LWW over the full log
     val oracle = canonical(n, 0, n)
@@ -71,7 +86,7 @@ class StreamingSpec extends AnyFunSuite {
             b.collect().foreach(c => buf.add((c.repo, c.path, c.seq))): Unit
         }
         .start()
-      q.awaitTermination(120000)
+      awaitAndStop(q)
       import scala.jdk.CollectionConverters._
       buf.asScala.toSeq
     }
@@ -113,7 +128,7 @@ class StreamingSpec extends AnyFunSuite {
             b.collect().foreach(c => buf.add((c.repo, c.path, c.seq))): Unit
         }
         .start()
-      q.awaitTermination(120000)
+      awaitAndStop(q)
       import scala.jdk.CollectionConverters._
       buf.asScala.toSeq
     }
@@ -157,7 +172,7 @@ class StreamingSpec extends AnyFunSuite {
             r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2)))): Unit
         }
         .start()
-      q.awaitTermination(120000)
+      awaitAndStop(q)
       import scala.jdk.CollectionConverters._
       buf.asScala.toSeq
     }
