@@ -240,7 +240,11 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       lake.commit(batchId, newOffsets, evolved, retained, newFiles, Map(
         "parsed" -> parsedCount, "quarantined" -> quarantinedCount,
         "upserts" -> upserts, "deletes" -> deletes,
-        "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras())
+        "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras(),
+        // anchor the commit's rewrite intent to the snapshot this batch
+        // READ (merged base rows from) — a concurrent maintenance commit
+        // between that read and this commit rebases instead of clobbering
+        baseVersion = snap.map(_.version))
     } finally fenced.unpersist()
   }
 }

@@ -34,10 +34,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * already exists — the optimistic-concurrency fence. (A plain
   * `Files.move(..., ATOMIC_MOVE)` maps to rename(2) on Linux, which
   * silently REPLACES the target — two racing committers would both
-  * "succeed" and one snapshot would be clobbered.) A lost race raises
-  * [[java.util.ConcurrentModificationException]]; writers are
-  * single-writer-per-table by contract, the fence turns violations into
-  * hard errors instead of corruption. Manifest bytes and the meta dir are
+  * "succeed" and one snapshot would be clobbered.) A lost race is
+  * RETRIED optimistically: [[commit]] re-reads the head, revalidates its
+  * assumptions, rebases its file/offset intent, and re-links — so
+  * compaction and snapshot expiry can overlap ingest; only failed
+  * revalidation (a true conflict) raises
+  * [[java.util.ConcurrentModificationException]]. Manifest bytes and the meta dir are
   * fsynced before the link lands (crash durability). Current version =
   * max N present (a crash after data-file write but before the manifest
   * link leaves only unreferenced orphan files — invisible, GC-able).
@@ -237,25 +239,91 @@ class LakeTable(val root: String, spark: SparkSession,
 
   /** Atomically commit a new snapshot: keep `retain`, add `added`, drop
     * everything else. Returns the committed version, or the existing one
-    * if this (batchId, offsets) was already applied (idempotent). */
+    * if this (batchId, offsets) was already applied (idempotent).
+    *
+    * CONCURRENT writers are supported with optimistic retry (the Iceberg
+    * commit loop): losing the manifest-link race re-reads the new head,
+    * REVALIDATES that the loser's assumptions still hold, rebases its
+    * intent onto the head, and re-attempts the link — so maintenance
+    * (compaction / expiry / appends) can overlap ingest instead of
+    * hard-failing. The commit's intent is expressed relative to its BASE
+    * snapshot as (dropped files, added files, advanced offsets); rebase =
+    * `newRetain = head.files − dropped`. Validation (any failure is a
+    * REAL conflict → [[java.util.ConcurrentModificationException]], the
+    * caller must re-plan from fresh state):
+    *  - every file this commit DROPS must still be live at the head (a
+    *    concurrent writer rewriting a file whose content this commit
+    *    consumed — e.g. compaction racing a CoW merge of the same file —
+    *    cannot be auto-merged: both rewrites contain the rows);
+    *  - no source partition this commit advances may have moved at the
+    *    head (two appliers applying the same partitions is undefined);
+    *  - the schema rebases by name-union (concurrent additive promotion
+    *    merges; our column set survives).
+    * Retries are bounded (`maxRetries`) with small linear backoff. */
   def commit(batchId: String, offsets: Map[String, Long], schema: StructType,
       retain: Seq[FileEntry], added: Seq[FileEntry],
-      lineage: Map[String, Long] = Map.empty): Long = {
-    val prev = currentSnapshot
+      lineage: Map[String, Long] = Map.empty, maxRetries: Int = 20,
+      baseVersion: Option[Long] = None): Long = {
+    // the caller's base: the snapshot `retain` was computed against.
+    // Callers that read table state before building a commit MUST pass
+    // the version they read (applier/compactor do) — deriving the base
+    // from the current head here would mis-assign files added by a
+    // concurrent commit in the read→commit window to the dropped set.
+    val base: Option[Snapshot] =
+      baseVersion.flatMap(v => Try(snapshot(v)).toOption).orElse(currentSnapshot)
     val fence = offsets.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
-    prev.foreach { p =>
-      if (p.applied.get(batchId).contains(fence)) return p.version // no-op replay
+    val droppedPaths: Set[String] =
+      base.map(_.files.map(_.path).toSet).getOrElse(Set.empty) -- retain.map(_.path)
+    val baseOff = base.map(_.offsets).getOrElse(Map.empty)
+    var attempt = 0
+    while (true) {
+      val head = currentSnapshot
+      head.foreach { h =>
+        if (h.applied.get(batchId).contains(fence)) return h.version // no-op replay
+      }
+      // rebase the intent onto the head (a no-op when head == base):
+      // keep everything live at the head except what THIS commit drops
+      val headFiles = head.map(_.files).getOrElse(Nil)
+      val rebased = head.map(_.version) != base.map(_.version)
+      val (curRetain, curSchema) =
+        if (!rebased) (retain, schema)
+        else {
+          val headPaths = headFiles.map(_.path).toSet
+          val missing = droppedPaths.filterNot(headPaths.contains)
+          if (missing.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"commit $batchId conflicts: files it rewrites were removed by a " +
+                s"concurrent commit: ${missing.take(3).mkString(", ")}")
+          val headOff = head.map(_.offsets).getOrElse(Map.empty)
+          val moved = offsets.keys.filter(k => headOff.get(k) != baseOff.get(k))
+          if (moved.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"commit $batchId conflicts: partitions ${moved.take(3).mkString(", ")} " +
+                "were advanced by a concurrent applier")
+          (headFiles.filterNot(f => droppedPaths.contains(f.path)),
+            head.map(h => LakeTable.unionSchemas(h.schema, schema)).getOrElse(schema))
+        }
+      val version = head.map(_.version + 1).getOrElse(0L)
+      // sliding-window fence map: keep only the newest `appliedWindow`
+      // entries (older replays are caught by the offsets watermark)
+      val applied: Map[String, String] =
+        (head.map(_.applied).getOrElse(scala.collection.immutable.ListMap.empty[String, String]) +
+          (batchId -> fence)).takeRight(appliedWindow)
+      val mergedOffsets = head.map(_.offsets).getOrElse(Map.empty) ++ offsets
+      try {
+        writeManifest(version, curSchema, curRetain ++ added, mergedOffsets, applied,
+          lineage, batchId)
+        return version
+      } catch {
+        case _: LakeTable.CommitRace =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"commit $batchId lost the race $maxRetries times — giving up")
+          Thread.sleep(math.min(25L * attempt, 400L))
+      }
     }
-    val version = prev.map(_.version + 1).getOrElse(0L)
-    // sliding-window fence map: keep only the newest `appliedWindow`
-    // entries (older replays are caught by the offsets watermark)
-    val applied: Map[String, String] =
-      (prev.map(_.applied).getOrElse(scala.collection.immutable.ListMap.empty[String, String]) +
-        (batchId -> fence)).takeRight(appliedWindow)
-    val mergedOffsets = prev.map(_.offsets).getOrElse(Map.empty) ++ offsets
-    writeManifest(version, schema, retain ++ added, mergedOffsets, applied, lineage,
-      batchId)
-    version
+    -1L // unreachable
   }
 
   /** Compact small data files: rewrite any files below `minRows` into
@@ -290,7 +358,8 @@ class LakeTable(val root: String, spark: SparkSession,
       else df.repartitionByRange(col("repo"), col("path"))
     val added = writeDataFiles(sized, s"compact-v${snap.version + 1}")
     Some(commit(s"compact-${snap.version + 1}", Map.empty, snap.schema, keep, added,
-      Map("compactedFiles" -> small.size.toLong, "rowsAfter" -> snap.files.map(_.rows).sum)))
+      Map("compactedFiles" -> small.size.toLong, "rowsAfter" -> snap.files.map(_.rows).sum),
+      baseVersion = Some(snap.version)))
   }
 
   /** Incremental change feed: rows whose winning `seq` is after
@@ -327,31 +396,51 @@ class LakeTable(val root: String, spark: SparkSession,
     *     concatenated composite "repo path" is NOT a sound lexicographic
     *     bound when a repo may contain the separator or anything below it
     *     (minRepo="a", minPath="q" gives minKey="a q", which incorrectly
-    *     prunes the real key ("a b", "x")). Driver-side over the file
-    *     list × keys: the API contract is a SMALL key set (a
-    *     service-style point read), not a join — for bulk key sets use
-    *     the MERGE path's distributed pruning.
-    *  2. ROW GROUP: the key-equality predicates push down to parquet,
-    *     where the write-time bloom filters + column min/max skip
-    *     non-matching row groups inside each scanned file (this layer
-    *     prunes on path too).
+    *     prunes the real key ("a b", "x")). Small key sets prune with a
+    *     direct keys × files scan; past `bulkThreshold` the manifest's
+    *     [[RepoIntervalIndex]] (sorted minRepo + prefix-max walk) prunes
+    *     in O(keys·log files) instead.
+    *  2. FILTER: small key sets become an OR-chain of key-equality
+    *     predicates pushed down to parquet, where the write-time bloom
+    *     filters + column min/max skip non-matching row groups inside
+    *     each scanned file. Past `bulkThreshold` an OR-chain would be a
+    *     10^4-term predicate (codegen degrades, pushdown gives up), so
+    *     bulk sets become a BROADCAST LEFT-SEMI join against the key set
+    *     instead — same result, hash-probe per row, no giant predicate.
     * Returns (rows, filesScanned, filesTotal). */
-  def lookupKeys(keys: Seq[(String, String)], version: Option[Long] = None)
-      : (DataFrame, Int, Int) = {
+  def lookupKeys(keys: Seq[(String, String)], version: Option[Long] = None,
+      bulkThreshold: Int = 64): (DataFrame, Int, Int) = {
     val snapOpt = version.map(snapshot).orElse(currentSnapshot)
     snapOpt match {
       case Some(s) =>
-        val repos = keys.map(_._1)
-        val live = s.files.filter(f =>
-          repos.exists(r => r >= f.minRepo && r <= f.maxRepo))
+        val bulk = keys.size > bulkThreshold
+        val live =
+          if (keys.isEmpty) Nil
+          else if (!bulk) {
+            val repos = keys.map(_._1)
+            s.files.filter(f => repos.exists(r => r >= f.minRepo && r <= f.maxRepo))
+          } else {
+            val ix = RepoIntervalIndex(s.files.map(f => (f.minRepo, f.maxRepo)))
+            val hit = new java.util.BitSet(ix.size)
+            keys.iterator.map(_._1).distinct.foreach(r => ix.collectTouched(r, hit))
+            s.files.zipWithIndex.collect { case (f, i) if hit.get(i) => f }
+          }
         val df =
           if (live.isEmpty || keys.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-          else spark.read.schema(s.schema)
-            .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
-            .filter(keys.map { case (r, p) =>
-              col("repo") === r && col("path") === p }.reduce(_ || _))
+          else {
+            val base = spark.read.schema(s.schema)
+              .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
+            if (!bulk)
+              base.filter(keys.map { case (r, p) =>
+                col("repo") === r && col("path") === p }.reduce(_ || _))
+            else {
+              import spark.implicits._
+              val keyDf = keys.toDF("repo", "path")
+              base.join(broadcast(keyDf), Seq("repo", "path"), "left_semi")
+            }
+          }
         (df, live.size, s.files.size)
       case None =>
         (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -447,9 +536,10 @@ class LakeTable(val root: String, spark: SparkSession,
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Try(Files.delete(tmp))
-        throw new java.util.ConcurrentModificationException(
-          s"lost commit race: $target already exists (concurrent writer — " +
-            "LakeTable is single-writer per table)")
+        // a RETRYABLE signal: [[commit]] rebases onto the new head and
+        // re-attempts; only failed revalidation there is a hard conflict
+        throw new LakeTable.CommitRace(
+          s"lost commit race: $target already exists (concurrent writer)")
     }
     Try(Files.delete(tmp))
     // fsync the directory so the new link survives a crash (Linux)
@@ -526,6 +616,16 @@ class LakeTable(val root: String, spark: SparkSession,
 }
 
 object LakeTable {
+
+  /** Lost manifest-link race — retryable inside [[LakeTable.commit]]'s
+    * optimistic loop (vs. `ConcurrentModificationException`, which marks
+    * a REAL conflict after failed revalidation). */
+  private[lake] class CommitRace(msg: String) extends RuntimeException(msg)
+
+  /** Name-union of two schemas, `a`'s order first — the rebase rule for
+    * concurrent additive schema promotion. */
+  private[lake] def unionSchemas(a: StructType, b: StructType): StructType =
+    StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
 
   /** Row count + (repo, path) string min/max + seq long min/max from a
     * parquet footer. Static so write-job TASKS can call it
