@@ -78,8 +78,25 @@ object CdcApplier {
   }
 }
 
+/** @param mergeOnRead write mode for [[CdcApplier.applyBatch]]:
+  *   - `false` (copy-on-write): a batch REWRITES every data file whose
+  *     key range it touches — reads stay plain scans, but a steady
+  *     drizzle of updates across many repos rewrites
+  *     O(touched-files × file-size) bytes per micro-batch;
+  *   - `true` (merge-on-read): a batch reads only the KEY COLUMNS of
+  *     touched files to decide true LWW winners, then writes just the
+  *     winning rows plus key-only equality-delete entries
+  *     ([[LakeTable.deleteSchema]]) — bytes written per batch is
+  *     O(batch), independent of touched-file size; reads resolve the
+  *     deletes at scan and periodic [[LakeTable.compact]] (a major
+  *     rewrite) folds them away. The Iceberg-v2 trade for streaming CDC
+  *     upserts: bounded write amplification per micro-batch, rent paid
+  *     in one periodic maintenance job.
+  *   Both modes commit the SAME logical table state — the oracle-gated
+  *   engine queries are indistinguishable across modes. */
 class CdcApplier(lake: LakeTable, spark: SparkSession,
-    clusterWrite: Boolean = true, clusterPartitions: Int = 0) {
+    clusterWrite: Boolean = true, clusterPartitions: Int = 0,
+    mergeOnRead: Boolean = false) {
 
   import spark.implicits._
 
@@ -190,61 +207,183 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         (parts._1.map(_._1), parts._2.map(_._1))
       }.getOrElse((Nil, Nil))
 
-      // ---- 5. MERGE: union + one LWW hash-agg (no join, ONE shuffle;
-      // subsumes in-batch dedup). ----
-      def conform(df: DataFrame, isChange: Boolean): DataFrame = {
-        val cols = evolved.fields.toSeq.map { f =>
-          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        } ++ Seq(
-          (if (isChange && df.columns.contains("op")) col("op") else lit(Op.Update)).as("_op"),
-          lit(isChange).as("_isChange"))
-        df.select(cols: _*)
-      }
-      val base =
-        if (touched.isEmpty) None
-        else Some(spark.read.schema(StructType(evolved.fields.map(f =>
-            StructField(f.name, f.dataType, nullable = true))))
-          .parquet(touched.map(f => java.nio.file.Paths.get(lake.root, f.path).toString): _*))
-      val unioned = base.map(b => conform(b, isChange = false)
-        .unionByName(conform(fenced, isChange = true)))
-        .getOrElse(conform(fenced, isChange = true))
-      val valueNames = evolved.fieldNames.toSeq.filterNot(keyCols.contains)
-      val merged = unioned.groupBy(keyCols.map(col): _*)
-        .agg(max_by(struct((valueNames :+ "_op").map(col) :+ col("_isChange"): _*),
-          struct(col("seq"), col("commit"), col("_isChange"))).as("r"))
-        .filter(col("r._op") =!= Op.Delete)
-        .select(keyCols.map(col) ++ valueNames.map(c => col(s"r.$c").as(c)): _*)
-
-      // ---- 6. write new files + atomic commit with lineage. The merged
-      // output leaves the aggregate HASH-partitioned on (repo, path) —
-      // every output file would span nearly the whole repo keyspace and
-      // file-range pruning would degrade to rewrite-everything for every
-      // later sparse batch. Range-repartitioning by key before the write
-      // gives each data file a TIGHT disjoint (repo, path) range, so a
-      // future batch touching k repos rewrites O(k/keyspace) of the
-      // table, not all of it — worth the second exchange (Iceberg users
-      // sort/cluster on write for exactly this reason). AQE sizes the
-      // range partitions; skewed repos are balanced by the sampler. ----
-      // clusterPartitions = 0 lets AQE size the range partitions; an
-      // explicit count pins the output file count (AQE won't coalesce a
-      // user-specified numPartitions)
-      val clustered =
-        if (!clusterWrite) merged
-        else if (clusterPartitions > 0)
-          merged.repartitionByRange(clusterPartitions, col("repo"), col("path"))
-        else merged.repartitionByRange(col("repo"), col("path"))
-      val newFiles = lake.writeDataFiles(clustered, f"b$batchId%s-v")
-      val rowsBefore = snap.map(_.files.map(_.rows).sum).getOrElse(0L)
-      val rowsAfter = (retained ++ newFiles).map(_.rows).sum
-      lake.commit(batchId, newOffsets, evolved, retained, newFiles, Map(
-        "parsed" -> parsedCount, "quarantined" -> quarantinedCount,
-        "upserts" -> upserts, "deletes" -> deletes,
-        "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras(),
-        // anchor the commit's rewrite intent to the snapshot this batch
-        // READ (merged base rows from) — a concurrent maintenance commit
-        // between that read and this commit rebases instead of clobbering
-        baseVersion = snap.map(_.version))
+      if (mergeOnRead)
+        morMerge(fenced, snap, evolved, touched, batchId, newOffsets,
+          upserts, deletes, parsedCount, quarantinedCount, lineageExtras)
+      else
+        cowMerge(fenced, snap, evolved, touched, retained, batchId, newOffsets,
+          upserts, deletes, parsedCount, quarantinedCount, lineageExtras)
     } finally fenced.unpersist()
+  }
+
+  /** Range-cluster a merge output before the write (see step 6 notes in
+    * [[applyBatch]]): each data file gets a TIGHT disjoint (repo, path)
+    * range, so a future batch touching k repos touches O(k/keyspace) of
+    * the table. `clusterPartitions = 0` lets AQE size the range
+    * partitions; an explicit count pins the output file count (AQE won't
+    * coalesce a user-specified numPartitions). */
+  private def clusterForWrite(df: DataFrame): DataFrame =
+    if (!clusterWrite) df
+    else if (clusterPartitions > 0)
+      df.repartitionByRange(clusterPartitions, col("repo"), col("path"))
+    else df.repartitionByRange(col("repo"), col("path"))
+
+  // ---- 5+6 (copy-on-write): union touched-file rows with the batch,
+  // ONE LWW hash-agg (no join, one shuffle; subsumes in-batch dedup),
+  // rewrite touched files range-clustered, retain the rest by
+  // reference. Touched merge-on-read delete files are never rewritten
+  // here — they stay retained until a major compaction folds them. ----
+  private def cowMerge(fenced: DataFrame, snap: Option[lake.Snapshot],
+      evolved: StructType, touched: Seq[lake.FileEntry],
+      retained: Seq[lake.FileEntry], batchId: String,
+      newOffsets: Map[String, Long], upserts: Long, deletes: Long,
+      parsedCount: Long, quarantinedCount: Long,
+      lineageExtras: () => Map[String, Long]): Long = {
+    val touchedData = touched.filter(_.kind == "data")
+    def conform(df: DataFrame, isChange: Boolean): DataFrame = {
+      val cols = evolved.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(
+        (if (isChange && df.columns.contains("op")) col("op") else lit(Op.Update)).as("_op"),
+        lit(isChange).as("_isChange"))
+      df.select(cols: _*)
+    }
+    // base rows resolve any merge-on-read deletes FIRST — a raw scan
+    // would resurrect superseded versions into the merge
+    val base =
+      if (touchedData.isEmpty) None
+      else Some(lake.resolveDeletes(
+        spark.read.schema(StructType(evolved.fields.map(f =>
+            StructField(f.name, f.dataType, nullable = true))))
+          .parquet(touchedData.map(f =>
+            java.nio.file.Paths.get(lake.root, f.path).toString): _*),
+        snap.get))
+    val unioned = base.map(b => conform(b, isChange = false)
+      .unionByName(conform(fenced, isChange = true)))
+      .getOrElse(conform(fenced, isChange = true))
+    val valueNames = evolved.fieldNames.toSeq.filterNot(keyCols.contains)
+    val merged = unioned.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct((valueNames :+ "_op").map(col) :+ col("_isChange"): _*),
+        struct(col("seq"), col("commit"), col("_isChange"))).as("r"))
+      .filter(col("r._op") =!= Op.Delete)
+      .select(keyCols.map(col) ++ valueNames.map(c => col(s"r.$c").as(c)): _*)
+    val newFiles = lake.writeDataFiles(clusterForWrite(merged), f"b$batchId%s-v")
+    // delete files are kept whether touched or not (their entries may
+    // target untouched files' rows)
+    val keep = retained ++ touched.filter(_.kind == "delete")
+    // exact on a pure-CoW table; on a mixed table retained MoR files may
+    // still hold superseded versions, so the count is an upper bound
+    // until the next major compaction
+    val rowsBefore = snap.map(_.dataFiles.map(_.rows).sum).getOrElse(0L)
+    val rowsAfter = (keep ++ newFiles).filter(_.kind == "data").map(_.rows).sum
+    lake.commit(batchId, newOffsets, evolved, keep, newFiles, Map(
+      "parsed" -> parsedCount, "quarantined" -> quarantinedCount,
+      "upserts" -> upserts, "deletes" -> deletes,
+      "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras(),
+      // anchor the commit's rewrite intent to the snapshot this batch
+      // READ (merged base rows from) — a concurrent maintenance commit
+      // between that read and this commit rebases instead of clobbering
+      baseVersion = snap.map(_.version))
+  }
+
+  // ---- 5+6 (merge-on-read): decide true LWW winners from the KEY
+  // COLUMNS of touched files (a columnar-pruned scan — the content
+  // column, which dominates file bytes, is never read), then write only
+  // the winning rows plus key-only equality-delete entries; nothing is
+  // rewritten. Existing delete entries and DELETE tombstones participate
+  // as base VERSIONS so a stale event can neither resurrect a deleted
+  // key nor shadow a newer base row. ----
+  private def morMerge(fenced: DataFrame, snap: Option[lake.Snapshot],
+      evolved: StructType, touched: Seq[lake.FileEntry], batchId: String,
+      newOffsets: Map[String, Long], upserts: Long, deletes: Long,
+      parsedCount: Long, quarantinedCount: Long,
+      lineageExtras: () => Map[String, Long]): Long = {
+    val valueNames = evolved.fieldNames.toSeq.filterNot(keyCols.contains)
+    val keyColsSet = Set("repo", "path", "seq", "commit")
+    def conformChange(df: DataFrame): DataFrame = {
+      val cols = evolved.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(
+        (if (df.columns.contains("op")) col("op") else lit(Op.Update)).as("_op"),
+        lit(true).as("_isChange"), lit(true).as("_isData"))
+      df.select(cols: _*)
+    }
+    def conformBase(df: DataFrame, isData: Boolean): DataFrame = {
+      val cols = evolved.fields.toSeq.map { f =>
+        if (keyColsSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(lit(null).cast("string").as("_op"),
+        lit(false).as("_isChange"), lit(isData).as("_isData"))
+      df.select(cols: _*)
+    }
+    def readKeyCols(fs: Seq[lake.FileEntry]) =
+      spark.read.schema(LakeTable.deleteSchema).parquet(fs.map(f =>
+        java.nio.file.Paths.get(lake.root, f.path).toString): _*)
+    val touchedData = touched.filter(_.kind == "data")
+    val touchedDel = touched.filter(_.kind == "delete")
+    val parts: Seq[DataFrame] =
+      Seq(conformChange(fenced)) ++
+        (if (touchedData.nonEmpty)
+          Seq(conformBase(readKeyCols(touchedData), isData = true)) else Nil) ++
+        (if (touchedDel.nonEmpty)
+          Seq(conformBase(readKeyCols(touchedDel), isData = false)) else Nil)
+    // ONE hash aggregate over (changes ∪ base versions): the best change
+    // row (in-batch LWW — _isChange leads the ordering so a change is
+    // picked whenever one exists) and the best base VERSION, where a
+    // data row beats its paired delete entry on (seq, commit) ties —
+    // the data row is the live one, a bare tombstone means deleted.
+    val merged = parts.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(struct((valueNames :+ "_op").map(col): _*),
+          struct(col("_isChange"), col("seq"), col("commit"))).as("w"),
+        max(when(!col("_isChange"),
+          struct(col("seq").as("s"), col("commit").as("c"),
+            col("_isData").as("d")))).as("bmax"),
+        max(col("_isChange")).as("hasChange"))
+    // actionable: a change exists AND strictly beats every base version
+    // (ties go to base — an exact replay that slipped the fence stays a
+    // no-op; a stale change loses and writes NOTHING)
+    val actionable = col("hasChange") && (col("bmax").isNull ||
+      struct(col("w.seq").as("s"), col("w.commit").as("c")) >
+        struct(col("bmax.s").as("s"), col("bmax.c").as("c")))
+    // O(batch winners) — cached for the two writes + the count pass
+    val act = merged.filter(actionable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = act.agg(
+        sum(when(col("w._op").isNotNull && col("w._op") =!= Op.Delete, 1L)
+          .otherwise(0L)).as("newLive"),
+        sum(when(col("bmax").isNotNull && col("bmax.d"), 1L)
+          .otherwise(0L)).as("oldLive")).head()
+      val newLive = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+      val oldLive = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+      val dataRows = act.filter(col("w._op") =!= Op.Delete)
+        .select(keyCols.map(col) ++ valueNames.map(c => col(s"w.$c").as(c)): _*)
+      val newData = lake.writeDataFiles(clusterForWrite(dataRows), f"b$batchId%s-v",
+        blooms = false)
+      // equality-delete entries for keys where some base version existed
+      // (a brand-new key has nothing to supersede); the entry carries the
+      // WINNING (seq, commit) so strictly-older versions die at read
+      val delRows = act.filter(col("bmax").isNotNull)
+        .select(col("repo"), col("path"),
+          col("w.seq").as("seq"), col("w.commit").as("commit"))
+      val newDel = lake.writeDataFiles(
+        delRows.repartitionByRange(col("repo"), col("path")),
+        f"b$batchId%s-d", kind = "delete", blooms = false)
+      // live-count chain: previous commit's exact rowsAfter (file sums
+      // would count superseded versions still sitting in MoR files)
+      val rowsBefore = snap.map(s =>
+        s.lineage.getOrElse("rowsAfter", s.dataFiles.map(_.rows).sum)).getOrElse(0L)
+      val rowsAfter = rowsBefore + newLive - oldLive
+      lake.commit(batchId, newOffsets, evolved,
+        retain = snap.map(_.files).getOrElse(Nil), added = newData ++ newDel,
+        Map("parsed" -> parsedCount, "quarantined" -> quarantinedCount,
+          "upserts" -> upserts, "deletes" -> deletes,
+          "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras(),
+        baseVersion = snap.map(_.version))
+    } finally { act.unpersist(); () }
   }
 }

@@ -60,13 +60,22 @@ class LakeTable(val root: String, spark: SparkSession,
   Files.createDirectories(metaDir)
   Files.createDirectories(dataDir)
 
+  /** One immutable file in a snapshot. `kind` is `"data"` (table rows)
+    * or `"delete"` (merge-on-read equality-delete entries: one
+    * `(repo, path, seq, commit)` row per superseded key, carrying the
+    * key's WINNING version — a data row is live iff no delete entry for
+    * its key is strictly newer; see [[resolveDeletes]]). */
   case class FileEntry(path: String, rows: Long, minRepo: String, maxRepo: String,
       minKey: String, maxKey: String,
-      minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue)
+      minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue,
+      kind: String = "data")
 
   case class Snapshot(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
-      lineage: Map[String, Long], batchId: String = "")
+      lineage: Map[String, Long], batchId: String = "") {
+    def dataFiles: Seq[FileEntry] = files.filter(_.kind == "data")
+    def deleteFiles: Seq[FileEntry] = files.filter(_.kind == "delete")
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -94,18 +103,44 @@ class LakeTable(val root: String, spark: SparkSession,
 
   /** Read the table at the current (or a time-travel) snapshot. Missing
     * columns in old files resolve to null under the snapshot schema
-    * (additive schema evolution). */
+    * (additive schema evolution). Merge-on-read delete files, if any,
+    * are applied at scan ([[resolveDeletes]]). */
   def read(version: Option[Long] = None): DataFrame = {
     val snapOpt = version.map(snapshot).orElse(currentSnapshot)
     snapOpt match {
-      case Some(s) if s.files.nonEmpty =>
-        spark.read.schema(s.schema)
-          .parquet(s.files.map(f => Paths.get(root, f.path).toString): _*)
+      case Some(s) if s.dataFiles.nonEmpty =>
+        resolveDeletes(spark.read.schema(s.schema)
+          .parquet(s.dataFiles.map(f => Paths.get(root, f.path).toString): _*), s)
       case Some(s) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Model.lakeSchemaV1)
+    }
+  }
+
+  /** Apply a snapshot's merge-on-read delete files to a data scan: a row
+    * survives iff NO delete entry for its key carries a strictly newer
+    * (seq, commit). The per-key delete maximum is one small aggregate
+    * over the delete files (churn since the last compaction, NOT table
+    * size), joined back by key — size-based planning broadcasts it in
+    * the common case, and AQE handles the adversarial huge-churn case as
+    * a shuffle join rather than an OOM. The winner row itself always
+    * survives: its (seq, commit) EQUALS its own delete entry's, and the
+    * predicate keeps `>=`. No-op when the snapshot has no delete files
+    * (pure copy-on-write history). */
+  private[graft] def resolveDeletes(data: DataFrame, s: Snapshot): DataFrame = {
+    val dels = s.deleteFiles
+    if (dels.isEmpty) data
+    else {
+      val dmax = spark.read.schema(LakeTable.deleteSchema)
+        .parquet(dels.map(f => Paths.get(root, f.path).toString): _*)
+        .groupBy(col("repo"), col("path"))
+        .agg(max(struct(col("seq").as("s"), col("commit").as("c"))).as("_dmax"))
+      data.join(dmax, Seq("repo", "path"), "left")
+        .filter(col("_dmax").isNull ||
+          struct(col("seq").as("s"), col("commit").as("c")) >= col("_dmax"))
+        .drop("_dmax")
     }
   }
 
@@ -173,20 +208,32 @@ class LakeTable(val root: String, spark: SparkSession,
     * without a shared mount), tasks could not see the driver's local
     * disk, so the footer reads fall back to a driver-side loop \u2014 the
     * same stats, collected where the files are visible. */
-  def writeDataFiles(df: DataFrame, label: String): Seq[FileEntry] = {
+  def writeDataFiles(df: DataFrame, label: String, kind: String = "data",
+      blooms: Boolean = true): Seq[FileEntry] = {
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
-    df.sortWithinPartitions("repo", "path")
-      .write.mode("overwrite")
-      // parquet bloom filters on the key columns: row-group-level point
-      // pruning INSIDE files, the layer below the manifest's min/max
-      // ranges \u2014 a key equality scan ([[lookupKeys]]) skips row groups
-      // whose bloom says "definitely absent" without reading data pages.
-      // Sorted-on-write files have tight ranges already; blooms cover the
-      // residual case of a wide file whose range straddles the probe key.
-      .option("parquet.bloom.filter.enabled#repo", "true")
-      .option("parquet.bloom.filter.enabled#path", "true")
-      .parquet(tmp.toString)
+    val sorted = df.sortWithinPartitions("repo", "path").write.mode("overwrite")
+    // parquet bloom filters on the key columns: row-group-level point
+    // pruning INSIDE files, the layer below the manifest's min/max
+    // ranges — a key equality scan ([[lookupKeys]]) skips row groups
+    // whose bloom says "definitely absent" without reading data pages.
+    // Sorted-on-write files have tight ranges already; blooms cover the
+    // residual case of a wide file whose range straddles the probe key.
+    // Adaptive sizing flushes a bloom sized to the chunk's observed NDV
+    // rather than the 1 MB max-bytes bitset; even adaptive, parquet's
+    // smallest candidate is 64 KB per column — so callers producing
+    // SMALL short-lived files (merge-on-read micro-batch output, folded
+    // away at the next major compaction) pass `blooms = false`: a
+    // constant 128 KB per file would dominate exactly the write
+    // amplification MoR exists to bound, while wide long-lived files
+    // (CoW merges, compaction rewrites) keep full bloom coverage.
+    val writer =
+      if (!blooms) sorted
+      else sorted
+        .option("parquet.bloom.filter.enabled#repo", "true")
+        .option("parquet.bloom.filter.enabled#path", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+    writer.parquet(tmp.toString)
     val pls = Files.list(tmp)
     val parts = try pls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -226,7 +273,7 @@ class LakeTable(val root: String, spark: SparkSession,
       val dst = dataDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
-        minS, maxS)
+        minS, maxS, kind)
     }
     // clean tmp dir remnants (_SUCCESS etc.)
     val w = Files.walk(tmp)
@@ -345,10 +392,21 @@ class LakeTable(val root: String, spark: SparkSession,
   def compact(minRows: Long, shufflePartitions: Int = 0,
       singleFile: Boolean = false): Option[Long] = {
     val snap = currentSnapshot.getOrElse(return None)
-    val (small, keep) = snap.files.partition(_.rows < minRows)
-    if (small.size < 2) return None
-    val df = spark.read.schema(snap.schema)
+    val major = snap.deleteFiles.nonEmpty
+    // MAJOR compaction (any merge-on-read delete files present): rewrite
+    // the WHOLE table with deletes resolved and drop every delete file —
+    // a delete file may only be dropped once every data file that could
+    // hold its superseded rows has been rewritten, and after the resolved
+    // rewrite that is all of them. This is the MoR rent coming due in ONE
+    // periodic job instead of on every micro-batch (the Iceberg v2
+    // rewrite_data_files + rewrite_position_delete_files cycle).
+    val (small, keep) =
+      if (major) (snap.dataFiles, Nil)
+      else snap.files.partition(_.rows < minRows)
+    if (!major && small.size < 2) return None
+    val raw = spark.read.schema(snap.schema)
       .parquet(small.map(f => Paths.get(root, f.path).toString): _*)
+    val df = if (major) resolveDeletes(raw, snap) else raw
     // range-cluster (not hash): compacted files get tight disjoint key
     // ranges, which is what keeps future CoW merges cheap
     val sized =
@@ -358,7 +416,8 @@ class LakeTable(val root: String, spark: SparkSession,
       else df.repartitionByRange(col("repo"), col("path"))
     val added = writeDataFiles(sized, s"compact-v${snap.version + 1}")
     Some(commit(s"compact-${snap.version + 1}", Map.empty, snap.schema, keep, added,
-      Map("compactedFiles" -> small.size.toLong, "rowsAfter" -> snap.files.map(_.rows).sum),
+      Map("compactedFiles" -> (small.size + (if (major) snap.deleteFiles.size else 0)).toLong,
+        "rowsAfter" -> (keep ++ added).filter(_.kind == "data").map(_.rows).sum),
       baseVersion = Some(snap.version)))
   }
 
@@ -374,15 +433,15 @@ class LakeTable(val root: String, spark: SparkSession,
     val snapOpt = version.map(snapshot).orElse(currentSnapshot)
     snapOpt match {
       case Some(s) =>
-        val live = s.files.filter(_.maxSeq > afterSeq)
+        val live = s.dataFiles.filter(_.maxSeq > afterSeq)
         val df =
           if (live.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-          else spark.read.schema(s.schema)
-            .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
+          else resolveDeletes(spark.read.schema(s.schema)
+            .parquet(live.map(f => Paths.get(root, f.path).toString): _*), s)
             .filter(col("seq") > afterSeq)
-        (df, live.size, s.files.size)
+        (df, live.size, s.dataFiles.size)
       case None =>
         (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Model.lakeSchemaV1), 0, 0)
@@ -414,16 +473,17 @@ class LakeTable(val root: String, spark: SparkSession,
     snapOpt match {
       case Some(s) =>
         val bulk = keys.size > bulkThreshold
+        val dataF = s.dataFiles
         val live =
           if (keys.isEmpty) Nil
           else if (!bulk) {
             val repos = keys.map(_._1)
-            s.files.filter(f => repos.exists(r => r >= f.minRepo && r <= f.maxRepo))
+            dataF.filter(f => repos.exists(r => r >= f.minRepo && r <= f.maxRepo))
           } else {
-            val ix = RepoIntervalIndex(s.files.map(f => (f.minRepo, f.maxRepo)))
+            val ix = RepoIntervalIndex(dataF.map(f => (f.minRepo, f.maxRepo)))
             val hit = new java.util.BitSet(ix.size)
             keys.iterator.map(_._1).distinct.foreach(r => ix.collectTouched(r, hit))
-            s.files.zipWithIndex.collect { case (f, i) if hit.get(i) => f }
+            dataF.zipWithIndex.collect { case (f, i) if hit.get(i) => f }
           }
         val df =
           if (live.isEmpty || keys.isEmpty)
@@ -432,16 +492,18 @@ class LakeTable(val root: String, spark: SparkSession,
           else {
             val base = spark.read.schema(s.schema)
               .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
-            if (!bulk)
-              base.filter(keys.map { case (r, p) =>
-                col("repo") === r && col("path") === p }.reduce(_ || _))
-            else {
-              import spark.implicits._
-              val keyDf = keys.toDF("repo", "path")
-              base.join(broadcast(keyDf), Seq("repo", "path"), "left_semi")
-            }
+            val filtered =
+              if (!bulk)
+                base.filter(keys.map { case (r, p) =>
+                  col("repo") === r && col("path") === p }.reduce(_ || _))
+              else {
+                import spark.implicits._
+                val keyDf = keys.toDF("repo", "path")
+                base.join(broadcast(keyDf), Seq("repo", "path"), "left_semi")
+              }
+            resolveDeletes(filtered, s)
           }
-        (df, live.size, s.files.size)
+        (df, live.size, dataF.size)
       case None =>
         (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Model.lakeSchemaV1), 0, 0)
@@ -515,6 +577,7 @@ class LakeTable(val root: String, spark: SparkSession,
       e.put("minKey", f.minKey); e.put("maxKey", f.maxKey)
       e.put("minSeq", java.lang.Long.valueOf(f.minSeq))
       e.put("maxSeq", java.lang.Long.valueOf(f.maxSeq))
+      e.put("kind", f.kind)
       fl.add(e)
     }
     m.put("files", fl)
@@ -561,7 +624,8 @@ class LakeTable(val root: String, spark: SparkSession,
         Option(e.get("minSeq")).map(_.asInstanceOf[Number].longValue())
           .getOrElse(Long.MinValue),
         Option(e.get("maxSeq")).map(_.asInstanceOf[Number].longValue())
-          .getOrElse(Long.MaxValue))
+          .getOrElse(Long.MaxValue),
+        Option(e.get("kind")).map(_.asInstanceOf[String]).getOrElse("data"))
     }.toSeq
     val offsets = m.get("offsets").asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap
@@ -621,6 +685,14 @@ object LakeTable {
     * optimistic loop (vs. `ConcurrentModificationException`, which marks
     * a REAL conflict after failed revalidation). */
   private[lake] class CommitRace(msg: String) extends RuntimeException(msg)
+
+  /** Schema of merge-on-read equality-delete files: the superseded key
+    * plus the WINNING (seq, commit) that superseded it. */
+  val deleteSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("commit", org.apache.spark.sql.types.StringType)))
 
   /** Name-union of two schemas, `a`'s order first — the rebase rule for
     * concurrent additive schema promotion. */

@@ -258,6 +258,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("qdot"), col("cos_q"))
   }
 
+  /** Near-dup CLUSTER resolution: connected components over a near-dup
+    * pair set (from [[minhashLsh]] / [[simhashPairs]] /
+    * [[embeddingNearDup]]), labelling every member with the minimum doc
+    * id of its component. Pairs alone under-delete transitive chains
+    * (A≈B≈C with A≉C must still be ONE cluster, keeping one canonical
+    * doc) — the closure is the actual dedup decision a corpus pipeline
+    * executes.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each round
+    * pushes every node's current label across its edges and keeps the
+    * per-node minimum; converges in O(component diameter) rounds. Near-
+    * dup graphs are overwhelmingly short-diameter (dup groups, not long
+    * paths), so this beats the constant-factor-heavy O(log n) large-star
+    * /small-star dance in practice. Per round: one equi-join on edges +
+    * one min-aggregate, both map-side combined; `localCheckpoint`
+    * truncates the lineage so round N's plan doesn't replay rounds
+    * 0..N-1. The driver-side loop decision (`changed == 0`) reads ONE
+    * aggregate value per round — labels monotonically decrease, so the
+    * label SUM is a fixpoint witness; no per-row driver work.
+    *
+    * Returns (doc_id, cluster_id) for every doc appearing in some pair
+    * (singletons are their own cluster trivially — callers that need
+    * them add `ids.except(members)` rows with cluster_id = doc_id). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = OpCaches.track(
+      pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+          col("id_a").cast("long").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Direct n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, k: Int = 5): Column = {
     val sa = TextAnalysis.shingles(a, k)

@@ -58,7 +58,12 @@ object EngineE2E {
             scala.util.Try(java.nio.file.Files.delete(f))))
       }))
       val lake = new LakeTable(lakeDir.toString, spark)
-      val applier = new CdcApplier(lake, spark)
+      // MERGE-ON-READ mode: the oracle is mode-blind, so q22/q25/q27/
+      // q33/q35 all-green here certifies that MoR table state (winners +
+      // equality-delete resolution, across multi-batch commits, time
+      // travel, change feeds and point lookups) is indistinguishable
+      // from the plain LWW replay
+      val applier = new CdcApplier(lake, spark, mergeOnRead = true)
       applier.applyBatch(changes.filter(col("seq") <= cut1), "e2e-0")
       applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "e2e-1")
       applier.applyBatch(changes.filter(col("seq") > cut2), "e2e-2")
@@ -157,13 +162,19 @@ object EngineE2E {
     val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
     val lakeDir = java.nio.file.Files.createTempDirectory("graft-cv-lake").toString
     val lake = new LakeTable(lakeDir, spark)
-    val applier = new CdcApplier(lake, spark)
+    // MoR replay → MAJOR compaction (folds the equality-delete files into
+    // a resolved rewrite and drops them) → expiry+vacuum: byte-identical
+    // to the plain replay under q22's oracle, proving the whole MoR
+    // maintenance cycle is pure
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
     val cut1 = maxSeq / 3
     val cut2 = 2 * maxSeq / 3
     applier.applyBatch(changes.filter(col("seq") <= cut1), "cv-0")
     applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "cv-1")
     applier.applyBatch(changes.filter(col("seq") > cut2), "cv-2")
     lake.compact(minRows = Long.MaxValue)
+    assert(lake.currentSnapshot.exists(_.deleteFiles.isEmpty),
+      "major compaction must fold all delete files")
     lake.expireSnapshots(keepLast = 1)
     val out = lake.read().select(col("repo"), col("path"), col("commit"), col("lang"),
       sha2(col("content"), 256).as("content_sha"), col("seq"))

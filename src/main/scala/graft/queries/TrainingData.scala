@@ -179,7 +179,20 @@ object TrainingData {
         col("hll_nonzero_registers"), col("hll_s"), col("hll_est"))
   }
 
+  /** q36 — near-dup cluster resolution: connected components over the
+    * q17 MinHash-LSH pair set ([[Dedup.connectedComponents]] — min-label
+    * propagation to fixpoint). Pairs under-delete transitive chains
+    * (A≈B≈C, A≉C is ONE cluster); the closure is the dedup decision a
+    * corpus pipeline actually executes. The DuckDB oracle mirrors it
+    * with a recursive CTE (min reachable id per node). */
+  def q36DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs(spark, dir), "doc_id", "text", k = 5,
+      numHashes = 16, bands = 2, threshold = 0.5, prefixChars = Q17PrefixChars)
+    Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_dedup_clusters" -> q36DedupClusters _,
     "q29_embedding_neardup" -> q29EmbeddingNearDup _,
     "q34_hll_distinct" -> q34HllDistinct _,
     "q11_dedup_exact" -> q11DedupExact _,
@@ -199,6 +212,40 @@ object TrainingData {
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q36_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id AS id,
+        |   list_distinct([substr(substr(text,1,200), i, 5)
+        |     for i in range(1, greatest(length(substr(text,1,200))-4, 1)+1)]) AS sh
+        | FROM documents
+        |), lanes AS (
+        | SELECT id, sh, list_transform(sh, s ->
+        |   [ list_sum([ (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(8-j))) for j in range(1, 9)]),
+        |     list_sum([ (strpos('0123456789abcdef', substr(md5(s), j+8, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(8-j))) for j in range(1, 9)]) ]) AS ab
+        | FROM d
+        |), sig AS (
+        | SELECT id, sh,
+        |   [ CAST(list_aggregate(list_transform(ab, p -> (p[1]*(2*h+1)+p[2]) % 2147483647), 'min') AS BIGINT) for h in range(0, 16)] AS sg
+        | FROM lanes
+        |), banded AS (
+        | SELECT id, sh, b AS band, md5(array_to_string(sg[b*8+1:b*8+8], '|')) AS bucket
+        | FROM sig, range(0, 2) AS r(b)
+        |), pairs AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        |), pairsf AS (
+        | SELECT id_a, id_b FROM pairs
+        | WHERE CAST(length(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        |   / CAST(length(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5
+        |), edges AS (
+        | SELECT id_a AS s, id_b AS dd FROM pairsf UNION SELECT id_b AS s, id_a AS dd FROM pairsf
+        |), reach(id, r) AS (
+        | SELECT DISTINCT s, s FROM edges
+        | UNION
+        | SELECT e.s, rc.r FROM edges e JOIN reach rc ON rc.id = e.dd
+        |)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     "q34_hll_distinct" ->
       """WITH h AS (
         | SELECT lang, text,

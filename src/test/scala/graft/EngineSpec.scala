@@ -183,6 +183,91 @@ class EngineSpec extends AnyFunSuite {
     assert(nulls > 0 && vals > 0) // old rows null, new rows populated
   }
 
+  test("merge-on-read replay ≡ oracle; stale events are inert; major compaction folds deletes") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakemor"), spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
+    val ev = ChangeLogGen.events(spark, N, Seed)
+      .filter(lower($"source") === "app.change.log")
+      .select("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    val q = N / 4
+    (0 until 4).foreach { b =>
+      val hi = if (b == 3) N else (b + 1) * q
+      applier.applyBatch(ev.filter($"seq" >= b * q && $"seq" < hi), s"m-$b")
+    }
+    assert(lakeState(lake) == oracle)
+    val snap = lake.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty, "MoR replay must produce delete files")
+    // exact live count despite superseded versions still sitting in files
+    assert(snap.lineage("rowsAfter") == lake.read().count())
+    // idempotent replay: the offsets fence turns it into a no-op commit
+    val vBefore = lake.currentVersion.get
+    applier.applyBatch(ev.filter($"seq" >= 3 * q), "m-3")
+    assert(lake.currentVersion.get == vBefore)
+    // OUT-OF-ORDER protection (the MoR-specific hazard — a write-blind
+    // MoR sink would resurrect): a stale event from a fresh source
+    // partition (so the offsets fence cannot drop it) must lose to the
+    // newer base version at merge time and write nothing visible
+    val lastOps = ChangeLogGen.events(spark, N, Seed)
+      .filter(lower($"source") === "app.change.log")
+      .groupBy($"repo", $"path")
+      .agg(max_by($"op", struct($"seq", $"commit")).as("op"))
+    val deadKey = lastOps.filter($"op" === "DELETE")
+      .select($"repo", $"path").as[(String, String)].head()
+    val liveKey = lastOps.filter($"op" =!= "DELETE")
+      .select($"repo", $"path").as[(String, String)].head()
+    val stale = Seq(
+      ("UPDATE", "late-part", deadKey._1, deadKey._2, "c-stale-a", "scala", "resurrect?", 0L),
+      ("UPDATE", "late-part", liveKey._1, liveKey._2, "c-stale-b", "scala", "shadow?", 0L))
+      .toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    applier.applyBatch(stale, "m-stale")
+    assert(lakeState(lake) == oracle, "stale events must neither resurrect nor shadow")
+    // major compaction: resolved rewrite, all delete files folded, state intact
+    lake.compact(minRows = Long.MaxValue)
+    val after = lake.currentSnapshot.get
+    assert(after.deleteFiles.isEmpty)
+    assert(lakeState(lake) == oracle)
+    assert(after.lineage("rowsAfter") == lake.read().count())
+  }
+
+  test("merge-on-read: sparse batch writes a fraction of copy-on-write bytes, same state") {
+    def addedBytes(lake: LakeTable): Long = {
+      val v = lake.currentVersion.get
+      val prev = lake.snapshot(v - 1).files.map(_.path).toSet
+      lake.snapshot(v).files.filterNot(f => prev(f.path))
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(lake.root, f.path)))
+        .sum
+    }
+    // content must be INCOMPRESSIBLE (md5 chains) — an RLE-friendly
+    // filler would make the CoW rewrite spuriously cheap on disk
+    val seed = (0 until 2000).map { i =>
+      val body = Iterator.iterate(s"s$i")(x =>
+        java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+          .map("%02x".format(_)).mkString).drop(1).take(8).mkString
+      ("UPDATE", (i % 4).toString, f"wr-repo${i % 40}%02d", s"p${i % 50}", s"c$i",
+        "scala", body, i.toLong)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    // 5 updates to EXISTING keys (rows 0,7,...,28 of the seed) — the
+    // sparse-drizzle shape whose CoW rewrite cost MoR exists to bound
+    val sparse = (0 until 5).map { i =>
+      ("UPDATE", "0", f"wr-repo${(i * 7) % 40}%02d", s"p${(i * 7) % 50}", s"cs$i",
+        "scala", s"new-$i", (10000 + i).toLong)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    val cow = new LakeTable(TestSpark.tmpDir("lakewampc"), spark)
+    val cowApp = new CdcApplier(cow, spark)
+    cowApp.applyBatch(seed, "w-0"); cowApp.applyBatch(sparse, "w-1")
+    val cowBytes = addedBytes(cow)
+    val mor = new LakeTable(TestSpark.tmpDir("lakewampm"), spark)
+    new CdcApplier(mor, spark).applyBatch(seed, "w-0") // identical CoW seed
+    new CdcApplier(mor, spark, mergeOnRead = true).applyBatch(sparse, "w-1")
+    val morBytes = addedBytes(mor)
+    assert(morBytes * 3 <= cowBytes,
+      s"MoR sparse batch wrote $morBytes B vs CoW $cowBytes B")
+    val st = (l: LakeTable) => l.read()
+      .select($"repo", $"path", $"commit", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    assert(st(mor) == st(cow))
+  }
+
   test("lineage counters are recorded per commit") {
     val lake = new LakeTable(TestSpark.tmpDir("lakelin"), spark)
     replayBlobs(lake, 2)

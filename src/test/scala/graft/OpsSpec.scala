@@ -248,6 +248,25 @@ class OpsSpec extends AnyFunSuite {
     assert(rw.dimA.contains(8000) && rw.frameCount == 3) // 48000 B / 16000 B/s
   }
 
+  test("connected components: transitive chains collapse to one cluster, min id wins") {
+    // A≈B≈C with A≉C: pairs alone would keep B AND C relative to A —
+    // the closure must put all three in cluster 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a diameter-7 path needs multiple propagation rounds to converge
+    val chain = (0 until 7).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val cchain = Dedup.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cchain.length == 8 && cchain.forall(_._2 == 0L))
+    // empty pair set → empty labelling, no crash
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().isEmpty)
+  }
+
   test("text analysis: token counts, language id, fingerprints behave") {
     val out = docs.select($"doc_id",
       TextAnalysis.tokenCount($"text").as("n"),
