@@ -38,7 +38,14 @@ import graft.lake.LakeTable
   *  - Exactly-once: the offsets fence filters already-applied events
   *    (`seq <= committed[part]`), and the snapshot commit records
   *    `(batchId, offsets)` — replaying a committed batch is a metadata
-  *    no-op (see [[LakeTable.commit]]).
+  *    no-op (see [[LakeTable.commit]]). DELIVERY CONTRACT: the fence
+  *    assumes per-source-partition monotone seq ACROSS batches — the
+  *    binlog/WAL guarantee (a Kafka partition, a MySQL binlog stream).
+  *    A first-seen event below its partition's watermark is
+  *    indistinguishable from a replay and is dropped; feed sources that
+  *    can reorder (e.g. a file drop batched by modification time) must
+  *    deliver per-partition in order. The LWW MERGE itself is fully
+  *    order-insensitive — only the replay fence needs the contract.
   *  - Schema evolution: value columns present in the batch but not in the
   *    lake schema are promoted (appended) to the new snapshot's schema;
   *    old files read them as null. Renames are canonicalized upstream
@@ -122,14 +129,26 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       parsedCount: Long = -1, quarantinedCount: Long = -1,
       lineageExtras: () => Map[String, Long] = () => Map.empty): Long = {
 
+    val snap = lake.currentSnapshot
+    // ---- 0. rename canonicalization: a late producer may still emit a
+    // column under its pre-rename name — fold it into the current name
+    // (an explicit current-name value wins) so rename evolution never
+    // re-promotes a retired name as a fresh column. ----
+    val canon = snap.map(_.renames).getOrElse(Map.empty).foldLeft(events) {
+      case (df, (oldName, newName)) if df.columns.contains(oldName) =>
+        (if (df.columns.contains(newName))
+          df.withColumn(newName, coalesce(col(newName), col(oldName)))
+        else df.withColumn(newName, col(oldName))).drop(oldName)
+      case (df, _) => df
+    }
     // ---- 1. offsets fence: drop events at-or-below the committed
     // high-watermark of their source partition (exactly-once resume). ----
-    val committed = lake.committedOffsets
+    val committed = snap.map(_.offsets).getOrElse(Map.empty)
     val fencedRaw =
-      if (committed.isEmpty) events
+      if (committed.isEmpty) canon
       else {
         val offDf = committed.toSeq.toDF("part", "_off")
-        events.join(broadcast(offDf), Seq("part"), "left")
+        canon.join(broadcast(offDf), Seq("part"), "left")
           .filter(col("_off").isNull || col("seq") > col("_off"))
           .drop("_off")
       }
@@ -137,7 +156,6 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
     // cached because the jobs below consume it twice.
     val fenced = fencedRaw.cache()
     try {
-      val snap = lake.currentSnapshot
 
       // ---- 2+4 fused: ONE job over the fenced batch computes BOTH the
       // per-part offset stats AND the touched-file index set. Each task
@@ -249,15 +267,16 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         lit(isChange).as("_isChange"))
       df.select(cols: _*)
     }
-    // base rows resolve any merge-on-read deletes FIRST — a raw scan
-    // would resurrect superseded versions into the merge
+    // base rows resolve any merge-on-read deletes FIRST (a raw scan
+    // would resurrect superseded versions into the merge) and map
+    // renamed columns (pre-rename files must not read as null)
     val base =
       if (touchedData.isEmpty) None
       else Some(lake.resolveDeletes(
-        spark.read.schema(StructType(evolved.fields.map(f =>
-            StructField(f.name, f.dataType, nullable = true))))
-          .parquet(touchedData.map(f =>
-            java.nio.file.Paths.get(lake.root, f.path).toString): _*),
+        lake.readDataFiles(touchedData,
+          StructType(evolved.fields.map(f =>
+            StructField(f.name, f.dataType, nullable = true))),
+          snap.map(_.renames).getOrElse(Map.empty)),
         snap.get))
     val unioned = base.map(b => conform(b, isChange = false)
       .unionByName(conform(fenced, isChange = true)))

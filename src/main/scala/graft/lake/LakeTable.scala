@@ -70,9 +70,17 @@ class LakeTable(val root: String, spark: SparkSession,
       minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue,
       kind: String = "data")
 
+  /** `renames` is the cumulative column-rename mapping: STORED (old)
+    * name → CURRENT name, chain-collapsed (after a→b then b→c it holds
+    * {a→c, b→c}). Data files are immutable, so files written before a
+    * rename physically carry the old column name; reads augment the scan
+    * schema with the old names and coalesce them into the current one
+    * ([[readDataFiles]]) — zero rewrite, the Iceberg name-mapping idea
+    * at manifest granularity. */
   case class Snapshot(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
-      lineage: Map[String, Long], batchId: String = "") {
+      lineage: Map[String, Long], batchId: String = "",
+      renames: Map[String, String] = Map.empty) {
     def dataFiles: Seq[FileEntry] = files.filter(_.kind == "data")
     def deleteFiles: Seq[FileEntry] = files.filter(_.kind == "delete")
   }
@@ -109,14 +117,45 @@ class LakeTable(val root: String, spark: SparkSession,
     val snapOpt = version.map(snapshot).orElse(currentSnapshot)
     snapOpt match {
       case Some(s) if s.dataFiles.nonEmpty =>
-        resolveDeletes(spark.read.schema(s.schema)
-          .parquet(s.dataFiles.map(f => Paths.get(root, f.path).toString): _*), s)
+        resolveDeletes(readDataFiles(s.dataFiles, s.schema, s.renames), s)
       case Some(s) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Model.lakeSchemaV1)
     }
+  }
+
+  /** Scan a set of data files under `schema`, mapping RENAMED columns:
+    * for every rename (old → new) the scan schema is augmented with the
+    * old name (same type, nullable) and the projection folds
+    * `coalesce(new, old₁, old₂, …)` into the current name. Sound because
+    * any one file physically contains at most ONE of a rename chain's
+    * names (the name current at its write time), so the coalesce order
+    * across olds is irrelevant; files from after the rename fill `new`,
+    * files from before fill exactly one `old`. No-op (plain scan) when
+    * no renames exist. */
+  private[graft] def readDataFiles(files: Seq[FileEntry], schema: StructType,
+      renames: Map[String, String]): DataFrame = {
+    // current name → stored old names, keeping only renames whose target
+    // is in this schema and whose old name isn't itself a live column
+    val inv: Map[String, Seq[String]] = renames.toSeq
+      .filter { case (o, n) => schema.fieldNames.contains(n) &&
+        !schema.fieldNames.contains(o) }
+      .groupBy(_._2).map { case (n, m) => n -> m.map(_._1).sorted }
+    val extras = inv.toSeq.sortBy(_._1).flatMap { case (n, olds) =>
+      val t = schema(n).dataType
+      olds.map(o => org.apache.spark.sql.types.StructField(o, t, nullable = true))
+    }
+    val df = spark.read.schema(StructType(schema.fields ++ extras))
+      .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+    if (extras.isEmpty) df
+    else df.select(schema.fields.toSeq.map { f =>
+      inv.get(f.name) match {
+        case Some(olds) => coalesce((f.name +: olds).map(col): _*).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
   }
 
   /** Apply a snapshot's merge-on-read delete files to a data scan: a row
@@ -359,7 +398,7 @@ class LakeTable(val root: String, spark: SparkSession,
       val mergedOffsets = head.map(_.offsets).getOrElse(Map.empty) ++ offsets
       try {
         writeManifest(version, curSchema, curRetain ++ added, mergedOffsets, applied,
-          lineage, batchId)
+          lineage, batchId, head.map(_.renames).getOrElse(Map.empty))
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -404,8 +443,10 @@ class LakeTable(val root: String, spark: SparkSession,
       if (major) (snap.dataFiles, Nil)
       else snap.files.partition(_.rows < minRows)
     if (!major && small.size < 2) return None
-    val raw = spark.read.schema(snap.schema)
-      .parquet(small.map(f => Paths.get(root, f.path).toString): _*)
+    // rename-mapped scan: compaction REWRITES files, so its output
+    // materializes old-named columns under their current names — the
+    // rent-paying moment after which the rename mapping is inert
+    val raw = readDataFiles(small, snap.schema, snap.renames)
     val df = if (major) resolveDeletes(raw, snap) else raw
     // range-cluster (not hash): compacted files get tight disjoint key
     // ranges, which is what keeps future CoW merges cheap
@@ -438,8 +479,7 @@ class LakeTable(val root: String, spark: SparkSession,
           if (live.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-          else resolveDeletes(spark.read.schema(s.schema)
-            .parquet(live.map(f => Paths.get(root, f.path).toString): _*), s)
+          else resolveDeletes(readDataFiles(live, s.schema, s.renames), s)
             .filter(col("seq") > afterSeq)
         (df, live.size, s.dataFiles.size)
       case None =>
@@ -490,8 +530,7 @@ class LakeTable(val root: String, spark: SparkSession,
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
           else {
-            val base = spark.read.schema(s.schema)
-              .parquet(live.map(f => Paths.get(root, f.path).toString): _*)
+            val base = readDataFiles(live, s.schema, s.renames)
             val filtered =
               if (!bulk)
                 base.filter(keys.map { case (r, p) =>
@@ -556,6 +595,50 @@ class LakeTable(val root: String, spark: SparkSession,
     (metaDeleted, dataDeleted)
   }
 
+  /** Rename a value column: a METADATA-ONLY commit (no file is touched)
+    * that renames the schema field and records the old→new mapping in
+    * the manifest, chain-collapsing prior renames (after a→b then b→c
+    * the map holds {a→c, b→c}). Files written before the rename keep
+    * their physical column name; every read path maps them through
+    * [[readDataFiles]], and the next compaction rewrite materializes the
+    * current name. Time travel is unaffected: old snapshots carry their
+    * own schema + mapping. Key/ordering columns (repo, path, seq,
+    * commit) are the engine's contract and cannot be renamed. Returns
+    * the committed version. Metadata-only ⇒ always rebase-safe, so the
+    * race loop needs no file/offset validation. */
+  def renameColumn(oldName: String, newName: String, maxRetries: Int = 20): Long = {
+    require(!Set("repo", "path", "seq", "commit").contains(oldName),
+      s"cannot rename engine key/ordering column $oldName")
+    var attempt = 0
+    while (true) {
+      val snap = currentSnapshot.getOrElse(
+        throw new IllegalStateException("rename on an empty table"))
+      require(snap.schema.fieldNames.contains(oldName), s"no such column: $oldName")
+      require(!snap.schema.fieldNames.contains(newName),
+        s"column already exists: $newName")
+      val newSchema = StructType(snap.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val renames = snap.renames.map { case (o, n) =>
+        o -> (if (n == oldName) newName else n) } + (oldName -> newName)
+      val version = snap.version + 1
+      try {
+        writeManifest(version, newSchema, snap.files, snap.offsets, snap.applied,
+          Map("rename" -> 1L, "rowsAfter" ->
+            snap.lineage.getOrElse("rowsAfter", snap.dataFiles.map(_.rows).sum)),
+          s"rename-$oldName-$newName", renames)
+        return version
+      } catch {
+        case _: LakeTable.CommitRace =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"rename $oldName→$newName lost the race $maxRetries times")
+          Thread.sleep(math.min(25L * attempt, 400L))
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Committed per-source-partition offsets: the resume point. */
   def committedOffsets: Map[String, Long] =
     currentSnapshot.map(_.offsets).getOrElse(Map.empty)
@@ -564,7 +647,8 @@ class LakeTable(val root: String, spark: SparkSession,
 
   private[lake] def writeManifest(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
-      lineage: Map[String, Long], batchId: String): Unit = {
+      lineage: Map[String, Long], batchId: String,
+      renames: Map[String, String] = Map.empty): Unit = {
     val m = new JLinkedHashMap[String, Object]()
     m.put("version", java.lang.Long.valueOf(version))
     m.put("batchId", batchId)
@@ -584,6 +668,7 @@ class LakeTable(val root: String, spark: SparkSession,
     m.put("offsets", offsets.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     m.put("applied", applied.asJava)
     m.put("lineage", lineage.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
+    if (renames.nonEmpty) m.put("renames", renames.asJava)
     val tmp = metaDir.resolve(s".v$version.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, mapper.writeValueAsString(m))
     // durability: manifest bytes reach disk before the link makes them
@@ -637,7 +722,10 @@ class LakeTable(val root: String, spark: SparkSession,
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap)
       .getOrElse(Map.empty[String, Long])
     val batchId = Option(m.get("batchId")).map(_.asInstanceOf[String]).getOrElse("")
-    Snapshot(version, schema, files, offsets, applied, lineage, batchId)
+    val renames = Option(m.get("renames"))
+      .map(_.asInstanceOf[JMap[String, String]].asScala.toMap)
+      .getOrElse(Map.empty[String, String])
+    Snapshot(version, schema, files, offsets, applied, lineage, batchId, renames)
   }
 
   /** Lineage / metrics side-table (≙ the reference's PROFILER→ES roll-up,

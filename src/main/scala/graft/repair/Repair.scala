@@ -57,12 +57,30 @@ object Repair {
         .otherwise(array(regexp_replace(raw, "^\"|\"$", ""))))
   }
 
-  /** Rename-evolution normalization (v1 `descr` → v2 `description`,
-    * SURVEY.md §1.1 anyof_schema generalization): canonicalize before the
-    * lake so stored files always use the v2 name. */
-  def canonicalizeRenames(payload: Column): Column =
-    payload.withField("description",
-      coalesce(payload.getField("description"), payload.getField("descr")))
+  /** Rename hints keyed by PRODUCER SCHEMA VERSION (SURVEY.md §1.1
+    * anyof_schema generalization): each version maps the payload field
+    * names it still emits to their canonical (current) names. The
+    * default registry carries the reference's one known rename — v1
+    * `descr` → v2 `description` — and a deployment extends it per
+    * `schema_ver` as producers evolve. */
+  val renameHints: Map[String, Map[String, String]] =
+    Map("v1" -> Map("descr" -> "description"))
+
+  /** Rename-evolution normalization: canonicalize old field names into
+    * their current names before the lake, so stored files always use
+    * canonical naming. Applies every hint in the registry via
+    * `coalesce(new, old)` — inherently version-safe without per-row
+    * dispatch (an explicit new-name value always wins; the old name only
+    * fills absence, and only the hinted version's producers emit it).
+    * Lake-COLUMN renames after promotion are the separate, manifest-level
+    * mechanism ([[graft.lake.LakeTable.renameColumn]]). */
+  def canonicalizeRenames(payload: Column,
+      hints: Map[String, Map[String, String]] = renameHints): Column = {
+    val pairs = hints.values.flatten.toSeq.distinct
+    pairs.foldLeft(payload) { case (p, (oldName, newName)) =>
+      p.withField(newName, coalesce(p.getField(newName), p.getField(oldName)))
+    }
+  }
 
   /** R6 at full reference fidelity (`flat_jsons.py:139-183`), inside the
     * operator rather than query wiring:

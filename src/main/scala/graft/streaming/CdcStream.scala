@@ -65,6 +65,51 @@ object CdcStream {
       .start()
   }
 
+  /** Start tailing `blobDir` in the WIRE format — raw concatenated-JSON
+    * blob files, the reference's Firehose drop
+    * (`update_workflow_properties.py:68-101`) — through the FULL
+    * pipeline per micro-batch: split → typed parse (corrupt-byte
+    * recovery) → validate/quarantine → schema-variant resolve → MERGE →
+    * commit. The `binaryFile` source preserves whole-file blob semantics
+    * (a `text` source would split on newlines mid-document);
+    * `maxFilesPerTrigger` is the 500-file batch cap (O2). Exactly-once
+    * is the engine's own fences, as in [[start]]; quarantined rows
+    * append to `quarantineDir` per batch (the dirty-bucket analog,
+    * written inside `foreachBatch` so a replayed batch re-deriving them
+    * is append-idempotent only at the table layer — downstream dirty
+    * consumers dedup on event_id). */
+  def startWire(spark: SparkSession, blobDir: String, lake: LakeTable,
+      checkpointDir: String, quarantineDir: Option[String] = None,
+      maxFilesPerTrigger: Int = 500,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    // binaryFile's schema is FIXED by the source, but the streaming API
+    // still requires it stated explicitly (no inference on streams)
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(blobDir)
+      .select(col("content"))
+      .writeStream
+      .queryName("graft-cdc-wire")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import spark.implicits._
+        val blobs = batch.select(col("content").cast("string")).as[String]
+        val (_, dirty) = graft.CdcPipeline.processBlobs(spark, blobs, lake, s"wire-$id")
+        quarantineDir.foreach(d => dirty.write.mode("append").parquet(d))
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed op-mix metrics with a WATERMARK (the streaming
     * face of the lineage roll-up, ≙ the reference's hourly Kibana view of
     * PROFILER counts): tumbling windows over the event time derived from

@@ -268,6 +268,46 @@ class EngineSpec extends AnyFunSuite {
     assert(st(mor) == st(cow))
   }
 
+  test("rename evolution: old files, late producers, chains, time travel, compaction") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakern"), spark)
+    val applier = new CdcApplier(lake, spark)
+    def rows(ids: Range, part: String, valName: String, v: Int => Long) =
+      ids.map { i =>
+        ("UPDATE", part, f"rn-repo$i%03d", "p", s"c-$part-$i", "scala", s"body-$i",
+          (part.hashCode.abs % 1000) * 1000L + i, v(i))
+      }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq", valName)
+    // era 1: promote `stars`
+    applier.applyBatch(rows(0 until 50, "a", "stars", i => i.toLong), "rn-0")
+    val v0 = lake.currentVersion.get
+    // rename stars → rating: metadata-only, old files keep the physical name
+    lake.renameColumn("stars", "rating")
+    assert(lake.read().columns.contains("rating") && !lake.read().columns.contains("stars"))
+    // era 2: producers emit the new name
+    applier.applyBatch(rows(50 until 100, "b", "rating", i => 1000L + i), "rn-1")
+    // era 3: a LATE producer still emits `stars` — folded into `rating`,
+    // NOT re-promoted as a fresh column; updates 10 era-1 keys
+    applier.applyBatch(rows(0 until 10, "zlate", "stars", i => 500L + i), "rn-2")
+    def ratingsOf(df: org.apache.spark.sql.DataFrame, name: String): Map[String, Long] =
+      df.select($"repo", col(name)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = ((0 until 10).map(i => f"rn-repo$i%03d" -> (500L + i)) ++
+      (10 until 50).map(i => f"rn-repo$i%03d" -> i.toLong) ++
+      (50 until 100).map(i => f"rn-repo$i%03d" -> (1000L + i))).toMap
+    assert(!lake.read().columns.contains("stars"))
+    assert(ratingsOf(lake.read(), "rating") == expect)
+    // chained rename rating → score: era-1 files (physical `stars`) and
+    // era-2/3 files (physical `rating`) must BOTH map to `score`
+    lake.renameColumn("rating", "score")
+    assert(ratingsOf(lake.read(), "score") == expect)
+    // time travel: the pre-rename snapshot still reads under its own schema
+    assert(lake.read(Some(v0)).columns.contains("stars"))
+    assert(ratingsOf(lake.read(Some(v0)), "stars") ==
+      (0 until 50).map(i => f"rn-repo$i%03d" -> i.toLong).toMap)
+    // compaction materializes the current name; the mapping becomes inert
+    lake.compact(minRows = Long.MaxValue)
+    assert(ratingsOf(lake.read(), "score") == expect)
+  }
+
   test("lineage counters are recorded per commit") {
     val lake = new LakeTable(TestSpark.tmpDir("lakelin"), spark)
     replayBlobs(lake, 2)

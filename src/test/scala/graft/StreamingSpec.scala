@@ -68,6 +68,44 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got == oracle)
   }
 
+  test("wire-format streaming tail ≡ batch processBlobs; corrupt/dirty rows quarantined") {
+    val n = 2000L
+    val blobRows = ChangeLogGen.blobs(spark, n, 7L)
+      .select(col("blob_id"), col("blob")).collect()
+    val inDir = TestSpark.tmpDir("wire-in")
+    blobRows.foreach { r =>
+      val id = r.getAs[Number]("blob_id").longValue
+      val p = java.nio.file.Paths.get(inDir, f"blob-$id%05d.json")
+      java.nio.file.Files.writeString(p, r.getAs[String]("blob"))
+      // the file source batches in (modificationTime, path) order; a real
+      // binlog drop arrives in sequence order with increasing mtimes —
+      // reproduce that (same-instant writes would batch in hash order,
+      // and per-part out-of-order delivery ACROSS micro-batches is
+      // outside the offsets fence's binlog contract)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + id * 1000))
+    }
+    val lakeS = new LakeTable(TestSpark.tmpDir("wire-lake"), spark)
+    val qDir = TestSpark.tmpDir("wire-quar") + "/dirty"
+    // 7 files per trigger → several micro-batches through the FULL wire
+    // pipeline (split → parse → validate → merge → commit)
+    val q = CdcStream.startWire(spark, inDir, lakeS, TestSpark.tmpDir("wire-ck"),
+      quarantineDir = Some(qDir), maxFilesPerTrigger = 7)
+    awaitAndStop(q)
+    // batch reference over the identical blobs
+    val lakeB = new LakeTable(TestSpark.tmpDir("wireb-lake"), spark)
+    val (_, dirtyB) = CdcPipeline.processBlobs(spark,
+      blobRows.map(_.getAs[String]("blob")).toSeq.toDS(), lakeB, "all")
+    def state(l: LakeTable) = l.read()
+      .select($"repo", $"path", $"commit", sha2($"content", 256))
+      .collect().map(_.toSeq).toSet
+    assert(state(lakeS) == state(lakeB) && state(lakeS).nonEmpty)
+    // every dirty row (wrong source / corrupt slices) landed in quarantine
+    val dirtyN = dirtyB.count()
+    assert(dirtyN > 0)
+    assert(spark.read.parquet(qDir).count() == dirtyN)
+  }
+
   test("stateful LWW change feed emits only net-new winners across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val inDir = TestSpark.tmpDir("feed-in")
