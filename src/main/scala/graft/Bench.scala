@@ -48,13 +48,15 @@ object Bench {
   }
 
   /** Replay `n` pre-materialized canonical change events through the
-    * apply path (fence → CoW MERGE → snapshot commit) in `batches`
-    * micro-batches; returns elapsed seconds. */
+    * apply path (fence → MERGE → snapshot commit) in `batches`
+    * micro-batches; returns elapsed seconds. `mor = true` applies in
+    * merge-on-read mode (key-column base read + delete files instead of
+    * copy-on-write rewrite). */
   private[graft] def replay(spark: SparkSession, eventsPath: String, n: Long,
-      batches: Int): Double = {
+      batches: Int, mor: Boolean = false): Double = {
     val lakeDir = java.nio.file.Files.createTempDirectory("graft-bench-lake")
     val lake = new LakeTable(lakeDir.toString, spark)
-    val applier = new CdcApplier(lake, spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = mor)
     val ev = spark.read.parquet(eventsPath)
     val per = n / batches + 1
     val t0 = System.nanoTime()
@@ -172,6 +174,11 @@ object Bench {
     val eps = nEvents / replaySec
     val wireSec = BenchIsolated.run("wire", blobDir, nBlobs, 4, cpus)
     val wireEps = nEvents / wireSec
+    // merge-on-read apply mode over the same canonical log: the
+    // write-amplification-bounded path (key-column base read + delete
+    // files instead of copy-on-write rewrite)
+    val morSec = BenchIsolated.run("mor", evDir, nEvents, 4, cpus)
+    val morEps = nEvents / morSec
 
     // scaling efficiency: N=8 vs 4N=32 cores, same input, same job (the
     // wire replay — the CPU-bound full pipeline). Interleaved best-of-2
@@ -215,7 +222,7 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","query_errors":{""", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","cpus":$cpus,"cdc_replay":{"events":$nEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.1f},"cdc_replay_wire":{"events":$nEvents,"sec":$wireSec%.3f,"events_per_sec":$wireEps%.1f}$scalingJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","cpus":$cpus,"cdc_replay":{"events":$nEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.1f},"cdc_replay_wire":{"events":$nEvents,"sec":$wireSec%.3f,"events_per_sec":$wireEps%.1f},"cdc_replay_mor":{"events":$nEvents,"sec":$morSec%.3f,"events_per_sec":$morEps%.1f}$scalingJson}"""
     // belt-and-braces for the driver's tail-parse: the bare JSON line on
     // stdout (build.sbt forks with StdoutOutput so no [info] prefix) AND
     // a known file.

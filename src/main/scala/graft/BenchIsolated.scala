@@ -59,6 +59,7 @@ object ScalingRunner {
     val b = batchesStr.toInt
     def once(): Double = mode match {
       case "wire" => Bench.replayWire(spark, path, n, b)
+      case "mor" => Bench.replay(spark, path, n, b, mor = true)
       case "decode" => // codec+validate only: the merge-free ceiling
         import org.apache.spark.sql.functions.col
         import spark.implicits._

@@ -368,7 +368,13 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
     val actionable = col("hasChange") && (col("bmax").isNull ||
       struct(col("w.seq").as("s"), col("w.commit").as("c")) >
         struct(col("bmax.s").as("s"), col("bmax.c").as("c")))
-    // O(batch winners) — cached for the two writes + the count pass
+    // O(batch winners) — PERSISTED because the range-clustered write
+    // SAMPLES its input (RangePartitioner runs a full pass over the
+    // child before the write pass): without the cache the whole merge —
+    // base key-column scan + shuffle + aggregate — would execute twice
+    // per micro-batch, and an `observe`-based count would double-count.
+    // With it, the merge computes once; sampling, the write, and the
+    // count read the cache.
     val act = merged.filter(actionable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -379,26 +385,31 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
           .otherwise(0L)).as("oldLive")).head()
       val newLive = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
       val oldLive = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
-      val dataRows = act.filter(col("w._op") =!= Op.Delete)
-        .select(keyCols.map(col) ++ valueNames.map(c => col(s"w.$c").as(c)): _*)
-      val newData = lake.writeDataFiles(clusterForWrite(dataRows), f"b$batchId%s-v",
-        blooms = false)
-      // equality-delete entries for keys where some base version existed
-      // (a brand-new key has nothing to supersede); the entry carries the
-      // WINNING (seq, commit) so strictly-older versions die at read
-      val delRows = act.filter(col("bmax").isNotNull)
-        .select(col("repo"), col("path"),
-          col("w.seq").as("seq"), col("w.commit").as("commit"))
-      val newDel = lake.writeDataFiles(
-        delRows.repartitionByRange(col("repo"), col("path")),
-        f"b$batchId%s-d", kind = "delete", blooms = false)
+      // ONE write job for both outputs, partitioned by kind: data rows
+      // (winners that live) ∪ key-only equality-delete entries (for keys
+      // where some base version existed — a brand-new key has nothing to
+      // supersede; the entry carries the WINNING (seq, commit) so
+      // strictly-older versions die at read). One job + one footer-stats
+      // pass instead of two of each — per-micro-batch fixed cost is what
+      // sustained throughput is made of.
+      val dataPart = act.filter(col("w._op") =!= Op.Delete)
+        .select(keyCols.map(col) ++ valueNames.map(c => col(s"w.$c").as(c)) :+
+          lit("data").as("_kind"): _*)
+      val delPart = act.filter(col("bmax").isNotNull)
+        .select(keyCols.map(col) ++ valueNames.map { c =>
+          if (c == "seq" || c == "commit") col(s"w.$c").as(c)
+          else lit(null).cast(evolved(c).dataType).as(c)
+        } :+ lit("delete").as("_kind"): _*)
+      val entries = lake.writeDataFiles(
+        clusterForWrite(dataPart.unionByName(delPart)),
+        f"b$batchId%s-m", blooms = false, partitionCol = Some("_kind"))
       // live-count chain: previous commit's exact rowsAfter (file sums
       // would count superseded versions still sitting in MoR files)
       val rowsBefore = snap.map(s =>
         s.lineage.getOrElse("rowsAfter", s.dataFiles.map(_.rows).sum)).getOrElse(0L)
       val rowsAfter = rowsBefore + newLive - oldLive
       lake.commit(batchId, newOffsets, evolved,
-        retain = snap.map(_.files).getOrElse(Nil), added = newData ++ newDel,
+        retain = snap.map(_.files).getOrElse(Nil), added = entries,
         Map("parsed" -> parsedCount, "quarantined" -> quarantinedCount,
           "upserts" -> upserts, "deletes" -> deletes,
           "rowsBefore" -> rowsBefore, "rowsAfter" -> rowsAfter) ++ lineageExtras(),

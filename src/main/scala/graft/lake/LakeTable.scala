@@ -248,7 +248,8 @@ class LakeTable(val root: String, spark: SparkSession,
     * disk, so the footer reads fall back to a driver-side loop \u2014 the
     * same stats, collected where the files are visible. */
   def writeDataFiles(df: DataFrame, label: String, kind: String = "data",
-      blooms: Boolean = true): Seq[FileEntry] = {
+      blooms: Boolean = true, partitionCol: Option[String] = None)
+      : Seq[FileEntry] = {
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
     val sorted = df.sortWithinPartitions("repo", "path").write.mode("overwrite")
@@ -272,11 +273,30 @@ class LakeTable(val root: String, spark: SparkSession,
         .option("parquet.bloom.filter.enabled#repo", "true")
         .option("parquet.bloom.filter.enabled#path", "true")
         .option("parquet.bloom.filter.adaptive.enabled", "true")
-    writer.parquet(tmp.toString)
-    val pls = Files.list(tmp)
-    val parts = try pls.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      finally pls.close()
+    // partitionCol (e.g. the merge-on-read writer's `_kind`) lets ONE
+    // write job emit files of several kinds: output lands in
+    // `<col>=<value>/` subdirs, each file's kind = its subdir value
+    partitionCol.map(writer.partitionBy(_)).getOrElse(writer).parquet(tmp.toString)
+    def listParquet(dir: Path): Seq[Path] = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally ls.close()
+    }
+    val partsKinded: Seq[(Path, String)] = partitionCol match {
+      case None => listParquet(tmp).map(p => (p, kind))
+      case Some(c) =>
+        val ls = Files.list(tmp)
+        val subdirs = try ls.iterator().asScala
+          .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$c="))
+          .toSeq.sortBy(_.toString)
+          finally ls.close()
+        subdirs.flatMap { d =>
+          val k = d.getFileName.toString.stripPrefix(s"$c=")
+          listParquet(d).map(p => (p, k))
+        }
+    }
+    val parts = partsKinded.map(_._1)
     // local-path staging is only task-visible when executors share the
     // driver's filesystem (local mode, or a mounted FS); remote
     // executors + a plain file: root → collect stats driver-side
@@ -306,13 +326,13 @@ class LakeTable(val root: String, spark: SparkSession,
         confBc.unpersist()
         rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
       }
-    val entries = parts.zipWithIndex.map { case (src, i) =>
+    val entries = partsKinded.zipWithIndex.map { case ((src, k), i) =>
       val (rows, minR, maxR, minP, maxP, minS, maxS) = stats(src.toString)
-      val name = s"$label-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
+      val name = s"$label-$k-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
       val dst = dataDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
-        minS, maxS, kind)
+        minS, maxS, k)
     }
     // clean tmp dir remnants (_SUCCESS etc.)
     val w = Files.walk(tmp)

@@ -1,0 +1,25 @@
+package graft.tools
+
+/** Dev tool: time ONE named driver query in isolation (warmup + best of
+  * 3 measured noop-writes, caches cleared between runs) — the unit the
+  * interleaved A/B protocol (BENCH.md) runs against snapshot class
+  * trees. Prints `GRAFT_SECONDS=<best>`. */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val Array(name, dir, cpusStr) = args
+    val spark = graft.Bench.session(cpusStr.toInt)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      graft.ops.OpCaches.unpersistAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+      s
+    }
+    once() // warmup
+    val sec = (1 to 3).map(_ => once()).min
+    println(f"GRAFT_SECONDS=$sec%.3f")
+    spark.stop()
+  }
+}
