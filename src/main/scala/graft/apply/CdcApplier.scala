@@ -277,7 +277,7 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
           StructType(evolved.fields.map(f =>
             StructField(f.name, f.dataType, nullable = true))),
           snap.map(_.renames).getOrElse(Map.empty)),
-        snap.get))
+        snap.get, scanned = Some(touchedData)))
     val unioned = base.map(b => conform(b, isChange = false)
       .unionByName(conform(fenced, isChange = true)))
       .getOrElse(conform(fenced, isChange = true))

@@ -167,9 +167,23 @@ class LakeTable(val root: String, spark: SparkSession,
     * a shuffle join rather than an OOM. The winner row itself always
     * survives: its (seq, commit) EQUALS its own delete entry's, and the
     * predicate keeps `>=`. No-op when the snapshot has no delete files
-    * (pure copy-on-write history). */
-  private[graft] def resolveDeletes(data: DataFrame, s: Snapshot): DataFrame = {
-    val dels = s.deleteFiles
+    * (pure copy-on-write history).
+    *
+    * `scanned` (the data files `data` actually reads, when the caller
+    * pruned them — point lookups, incremental feeds) prunes the DELETE
+    * side too: a delete file whose [minRepo, maxRepo] overlaps none of
+    * the scanned files' ranges cannot kill any scanned row, so a point
+    * read against a range-clustered table opens O(1) delete files, not
+    * every delete file since the last compaction. Metadata-scale
+    * interval check, sound because both bounds come from footer stats. */
+  private[graft] def resolveDeletes(data: DataFrame, s: Snapshot,
+      scanned: Option[Seq[FileEntry]] = None): DataFrame = {
+    val dels0 = s.deleteFiles
+    val dels = scanned match {
+      case Some(fs) => dels0.filter(d =>
+        fs.exists(f => d.minRepo <= f.maxRepo && d.maxRepo >= f.minRepo))
+      case None => dels0
+    }
     if (dels.isEmpty) data
     else {
       val dmax = spark.read.schema(LakeTable.deleteSchema)
@@ -499,7 +513,8 @@ class LakeTable(val root: String, spark: SparkSession,
           if (live.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-          else resolveDeletes(readDataFiles(live, s.schema, s.renames), s)
+          else resolveDeletes(readDataFiles(live, s.schema, s.renames), s,
+            scanned = Some(live))
             .filter(col("seq") > afterSeq)
         (df, live.size, s.dataFiles.size)
       case None =>
@@ -560,7 +575,7 @@ class LakeTable(val root: String, spark: SparkSession,
                 val keyDf = keys.toDF("repo", "path")
                 base.join(broadcast(keyDf), Seq("repo", "path"), "left_semi")
               }
-            resolveDeletes(filtered, s)
+            resolveDeletes(filtered, s, scanned = Some(live))
           }
         (df, live.size, dataF.size)
       case None =>

@@ -342,6 +342,42 @@ class LakeMetaSpec extends AnyFunSuite {
         r(1).asInstanceOf[String]))))
   }
 
+  test("merge-on-read point lookup prunes delete files and broadcasts the delete side") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakemorpl"), spark)
+    val app = new CdcApplier(lake, spark, clusterPartitions = 8, mergeOnRead = true)
+    def batch(tag: String, seqBase: Long) = (0 until 4000).map { i =>
+      ("UPDATE", (i % 4).toString, f"pl-repo${(i * 131) % 400}%03d", s"p${i % 10}",
+        s"c$tag$i", "scala", s"content-$tag-$i", seqBase + i)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    app.applyBatch(batch("a", 0), "mpl-0")
+    app.applyBatch(batch("b", 10000), "mpl-1") // updates every key → deletes
+    val snap = lake.currentSnapshot.get
+    assert(snap.deleteFiles.size >= 4, s"need several delete files, got ${snap.deleteFiles.size}")
+    val any = lake.read().select($"repo", $"path").head()
+    val (rows, scanned, total) = lake.lookupKeys(Seq((any.getString(0), any.getString(1))))
+    val got = rows.collect()
+    assert(got.length == 1 && got.head.getAs[Long]("seq") >= 10000) // batch-b winner
+    assert(scanned < total) // data side pruned (range-clustered)
+    // the DELETE side must prune too: a point read opens only delete
+    // files whose repo range overlaps the scanned data files — and the
+    // small per-key delete maximum must come in as a broadcast, never a
+    // shuffle of the data side
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanFiles(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scanFiles(a.executedPlan)
+      case q: QueryStageExec => scanFiles(q.plan) // AQE stage: subtree not in children
+      case f: FileSourceScanExec => f.relation.location.inputFiles.toSeq
+      case other => (other.children ++ other.subqueries).flatMap(scanFiles)
+    }
+    val files = scanFiles(rows.queryExecution.executedPlan)
+    val delOpened = files.count(_.contains("-m-delete-"))
+    assert(delOpened >= 1 && delOpened < snap.deleteFiles.size,
+      s"delete files opened: $delOpened of ${snap.deleteFiles.size}")
+    assert(rows.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "delete-max must broadcast against the point read")
+  }
+
   test("point lookup: manifest range pruning + parquet blooms on key columns") {
     // pinned output partitions → several files with disjoint key ranges
     val lake = new LakeTable(TestSpark.tmpDir("lakelookup"), spark)
