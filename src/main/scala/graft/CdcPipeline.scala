@@ -38,7 +38,8 @@ object CdcPipeline {
     * Returns (committedVersion, quarantined DataFrame). */
   def processBlobs(spark: SparkSession, blobs: Dataset[String], lake: LakeTable,
       batchId: String, promote: Seq[String] = Nil,
-      registry: Option[Validate.RuleRegistry] = None): (Long, DataFrame) = {
+      registry: Option[Validate.RuleRegistry] = None,
+      mergeOnRead: Boolean = false): (Long, DataFrame) = {
     // NOTE on parallelism: blobs are coarse (a blob ≈ one Firehose file),
     // so decode concurrency is governed by the SOURCE partitioning —
     // size `spark.sql.files.maxPartitionBytes` so the scan yields at
@@ -81,7 +82,7 @@ object CdcPipeline {
         repaired.select(Seq("op", "part").map(col) ++ canonical.map(col) ++
           promote.map(f => col(s"payload.$f").as(f)): _*)
       }
-    val applier = new CdcApplier(lake, spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = mergeOnRead)
     val version = applier.applyBatch(events, batchId,
       lineageExtras = () =>
         obsOpt.map(o => Validate.observedLineage(o)).getOrElse(Map.empty))

@@ -337,9 +337,17 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         lit(false).as("_isChange"), lit(isData).as("_isData"))
       df.select(cols: _*)
     }
+    // base versions are only consulted for keys THIS batch changes —
+    // semi-join the key-column scans to the batch's key set before the
+    // merge aggregate, so a sparse drizzle batch aggregates O(batch)
+    // base rows, not every key in every touched file. No broadcast hint:
+    // AQE broadcasts the (small) batch key set in the drizzle case and
+    // falls back to a shuffle semi-join for bulk loads.
+    val batchKeys = fenced.select(col("repo"), col("path")).distinct()
     def readKeyCols(fs: Seq[lake.FileEntry]) =
       spark.read.schema(LakeTable.deleteSchema).parquet(fs.map(f =>
         java.nio.file.Paths.get(lake.root, f.path).toString): _*)
+        .join(batchKeys, Seq("repo", "path"), "left_semi")
     val touchedData = touched.filter(_.kind == "data")
     val touchedDel = touched.filter(_.kind == "delete")
     val parts: Seq[DataFrame] =

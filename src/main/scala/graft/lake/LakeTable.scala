@@ -603,8 +603,17 @@ class LakeTable(val root: String, spark: SparkSession,
     * referenced by a KEPT snapshot is deleted — this covers both files
     * dropped by later merges and crash orphans (written but never
     * committed). Time travel remains valid within the kept window.
-    * Returns (manifestsDeleted, dataFilesDeleted). Single-writer, like
-    * commit. */
+    * Returns (manifestsDeleted, dataFilesDeleted).
+    *
+    * Reader contract (the standard Iceberg retention trade): a reader
+    * holds NO lock — a scan planned against a snapshot whose files are
+    * vacuumed mid-read fails with missing-file errors. Operate expiry on
+    * a retention window (keepLast sized so snapshots outlive the longest
+    * running read, as Iceberg's `expire_snapshots` retains by age); the
+    * vacuum itself never touches files referenced by any KEPT snapshot,
+    * so readers of retained versions are always safe. Expiry may run
+    * concurrently with commits (it writes no manifest), but two
+    * concurrent expiries race their deletes — run one at a time. */
   def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = versions

@@ -49,8 +49,9 @@ object CdcStream {
     * trigger makes it a long-running tail. */
   def start(spark: SparkSession, inputDir: String, lake: LakeTable,
       checkpointDir: String, maxFilesPerTrigger: Int = 500,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val applier = new CdcApplier(lake, spark)
+      trigger: Trigger = Trigger.AvailableNow(),
+      mergeOnRead: Boolean = false): StreamingQuery = {
+    val applier = new CdcApplier(lake, spark, mergeOnRead = mergeOnRead)
     spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -81,7 +82,8 @@ object CdcStream {
   def startWire(spark: SparkSession, blobDir: String, lake: LakeTable,
       checkpointDir: String, quarantineDir: Option[String] = None,
       maxFilesPerTrigger: Int = 500,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      mergeOnRead: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.functions._
     // binaryFile's schema is FIXED by the source, but the streaming API
     // still requires it stated explicitly (no inference on streams)
@@ -103,7 +105,8 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import spark.implicits._
         val blobs = batch.select(col("content").cast("string")).as[String]
-        val (_, dirty) = graft.CdcPipeline.processBlobs(spark, blobs, lake, s"wire-$id")
+        val (_, dirty) = graft.CdcPipeline.processBlobs(spark, blobs, lake,
+          s"wire-$id", mergeOnRead = mergeOnRead)
         quarantineDir.foreach(d => dirty.write.mode("append").parquet(d))
         ()
       }

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: copy-on-write vs merge-on-read under the SPARSE-DRIZZLE
+  * regime at realistic content sizes — the workload the north rule's
+  * 10^6-micro-batch deployment actually runs. The bench generator's rows
+  * carry ~50 B of content and its batches touch the whole keyspace, the
+  * worst case for MoR; here a ~1.9 KB-content table of `nSeed` keys is
+  * bulk-loaded once, then `drizzle` micro-batches of `perBatch` updates
+  * (keys spread across the whole repo range — every batch's repos
+  * intersect nearly every file) are applied in each mode. Reports
+  * drizzle wall time and drizzle bytes written, interleaved. */
+object MorFatAB {
+  def main(args: Array[String]): Unit = {
+    val nSeed = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val drizzle = 8
+    val perBatch = 5000L
+    val reps = 2
+    val n = nSeed + drizzle * perBatch
+    val spark = graft.Bench.session(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fat").toString
+    // 60 chained md5 blocks = 1920 hex chars (~4.3 bits/char entropy)
+    val fat = (1 to 60).map(k => md5(concat(col("id").cast("string"), lit(s"-$k"))))
+      .reduce((a, b) => concat(a, b))
+    graft.gen.ChangeLogGen.events(spark, n, seed = 42L, nRepos = 1000,
+        pathsPerRepo = 100, parts = 32)
+      .filter(lower(col("source")) === "app.change.log")
+      .select(col("op"), col("part"), col("repo"), col("path"), col("commit"),
+        col("lang"), fat.as("content"), col("seq"))
+      // range-cluster the LOG by seq so each batch's seq-slice filter
+      // prunes to its own files — otherwise every 5k-row drizzle batch
+      // re-scans the whole fat log and the probe times the scan, not the
+      // apply
+      .repartitionByRange(64, col("seq"))
+      .write.mode("overwrite").parquet(s"$dir/events")
+
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    }
+    def dataBytes(lakeDir: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(lakeDir.resolve("data"))
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+      finally w.close()
+    }
+    def run(mor: Boolean): (Double, Long) = {
+      val lakeDir = java.nio.file.Files.createTempDirectory("graft-fat-lake")
+      val lake = new graft.lake.LakeTable(lakeDir.toString, spark)
+      val ev = spark.read.parquet(s"$dir/events")
+      // bulk load (CoW in both modes — a seed is not a drizzle)
+      new graft.apply.CdcApplier(lake, spark)
+        .applyBatch(ev.filter(col("seq") < nSeed), "seed")
+      val seedBytes = dataBytes(lakeDir)
+      val applier = new graft.apply.CdcApplier(lake, spark, mergeOnRead = mor)
+      val t0 = System.nanoTime()
+      (0 until drizzle).foreach { b =>
+        val lo = nSeed + b * perBatch
+        applier.applyBatch(
+          ev.filter(col("seq") >= lo && col("seq") < lo + perBatch), s"dz-$b")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bytes = dataBytes(lakeDir) - seedBytes // written by the drizzle
+      deleteRec(lakeDir)
+      (sec, bytes)
+    }
+    (1 to reps).foreach { r =>
+      val (cs, cb) = run(mor = false)
+      val (ms, mb) = run(mor = true)
+      println(f"FATAB rep$r seed=$nSeed drizzle=${drizzle}x$perBatch  " +
+        f"cow=$cs%.2f s / ${cb / 1e6}%.1f MB written   " +
+        f"mor=$ms%.2f s / ${mb / 1e6}%.1f MB written")
+    }
+    deleteRec(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+}
