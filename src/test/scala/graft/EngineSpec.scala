@@ -268,6 +268,36 @@ class EngineSpec extends AnyFunSuite {
     assert(st(mor) == st(cow))
   }
 
+  test("merge-on-read schema evolution: promoted column flows through the MoR merge") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakemorevo"), spark)
+    val morApp = new CdcApplier(lake, spark, mergeOnRead = true)
+    def rows(ids: Range, seqBase: Long) = ids.map { i =>
+      ("UPDATE", "0", f"me-repo$i%03d", "p", s"c$seqBase-$i", "scala", s"body-$i",
+        seqBase + i)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    morApp.applyBatch(rows(0 until 40, 0), "me-0")
+    // batch 1 promotes `stars` AND updates 10 existing keys via MoR
+    val withStars = rows(0 until 10, 1000)
+      .unionByName(rows(40 until 60, 1000))
+      .withColumn("stars", pmod($"seq", lit(7)))
+    morApp.applyBatch(withStars, "me-1")
+    val out = lake.read()
+    assert(out.columns.contains("stars"))
+    val byRepo = out.select($"repo", $"seq", $"stars").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(byRepo.size == 60)
+    (0 until 10).foreach { i => // updated via MoR: new seq, stars populated
+      assert(byRepo(f"me-repo$i%03d") == (1000L + i, (1000L + i) % 7))
+    }
+    (10 until 40).foreach { i => // untouched old rows: stars null
+      assert(byRepo(f"me-repo$i%03d") == (i.toLong, -1L))
+    }
+    (40 until 60).foreach { i => // fresh keys with stars
+      assert(byRepo(f"me-repo$i%03d") == (1000L + i, (1000L + i) % 7))
+    }
+  }
+
   test("rename evolution: old files, late producers, chains, time travel, compaction") {
     val lake = new LakeTable(TestSpark.tmpDir("lakern"), spark)
     val applier = new CdcApplier(lake, spark)

@@ -20,9 +20,13 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     * down at JVM exit logs an async `MicroBatchExecution` ERROR on the
     * listener bus (it cannot fail the suite, but it would page someone in
     * a production harness). */
-  private def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    try q.awaitTermination(120000)
-    finally { q.stop(); q.awaitTermination() }
+  private def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(120000)
+    // stop ONLY if still active (await timed out): stopping a query
+    // that terminated on its own is what ABORTS a final in-flight cycle
+    // and logs TorrentBroadcast/DAGScheduler error noise
+    if (q.isActive) { q.stop(); q.awaitTermination() }
+  }
 
   override def afterAll(): Unit =
     // belt-and-braces: no stream of this suite may outlive it
@@ -56,6 +60,29 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     awaitAndStop(q2)
 
     // oracle: sequential LWW over the full log
+    val oracle = canonical(n, 0, n)
+      .groupBy($"repo", $"path")
+      .agg(max_by(struct($"op", $"commit", $"content", $"seq"), struct($"seq", $"commit")).as("r"))
+      .filter($"r.op" =!= "DELETE")
+      .select($"repo", $"path", $"r.commit".as("commit"), sha2($"r.content", 256).as("sha"))
+      .collect().map(_.toSeq).toSet
+    val got = lake.read()
+      .select($"repo", $"path", $"commit", sha2($"content", 256).as("sha"))
+      .collect().map(_.toSeq).toSet
+    assert(got == oracle)
+  }
+
+  test("streaming drain in merge-on-read mode ≡ batch apply") {
+    val n = 2000L
+    val inDir = TestSpark.tmpDir("smor-in")
+    val lakeDir = TestSpark.tmpDir("smor-lake")
+    val lake = new LakeTable(lakeDir, spark)
+    canonical(n, 0, n).write.mode("append").parquet(inDir)
+    val q = CdcStream.start(spark, inDir, lake, TestSpark.tmpDir("smor-ck"),
+      mergeOnRead = true)
+    awaitAndStop(q)
+    assert(lake.currentSnapshot.exists(_.deleteFiles.nonEmpty) ||
+      lake.currentSnapshot.exists(_.dataFiles.nonEmpty))
     val oracle = canonical(n, 0, n)
       .groupBy($"repo", $"path")
       .agg(max_by(struct($"op", $"commit", $"content", $"seq"), struct($"seq", $"commit")).as("r"))
