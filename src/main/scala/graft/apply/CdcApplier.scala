@@ -227,7 +227,13 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
 
       if (mergeOnRead)
         morMerge(fenced, snap, evolved, touched, batchId, newOffsets,
-          upserts, deletes, parsedCount, quarantinedCount, lineageExtras)
+          upserts, deletes, parsedCount, quarantinedCount, lineageExtras,
+          // sparse batch vs table size (both already known: event counts
+          // from the fused stats job, table rows from the manifest):
+          // a drizzle batch semi-joins the base key scan to its key set,
+          // a bulk batch skips the semi-join's own shuffles
+          semiJoinBase = (upserts + deletes) * 8 <
+            snap.map(_.dataFiles.map(_.rows).sum).getOrElse(0L))
       else
         cowMerge(fenced, snap, evolved, touched, retained, batchId, newOffsets,
           upserts, deletes, parsedCount, quarantinedCount, lineageExtras)
@@ -317,7 +323,8 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
       evolved: StructType, touched: Seq[lake.FileEntry], batchId: String,
       newOffsets: Map[String, Long], upserts: Long, deletes: Long,
       parsedCount: Long, quarantinedCount: Long,
-      lineageExtras: () => Map[String, Long]): Long = {
+      lineageExtras: () => Map[String, Long],
+      semiJoinBase: Boolean = true): Long = {
     val valueNames = evolved.fieldNames.toSeq.filterNot(keyCols.contains)
     val keyColsSet = Set("repo", "path", "seq", "commit")
     def conformChange(df: DataFrame): DataFrame = {
@@ -337,17 +344,22 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         lit(false).as("_isChange"), lit(isData).as("_isData"))
       df.select(cols: _*)
     }
-    // base versions are only consulted for keys THIS batch changes —
-    // semi-join the key-column scans to the batch's key set before the
-    // merge aggregate, so a sparse drizzle batch aggregates O(batch)
-    // base rows, not every key in every touched file. No broadcast hint:
-    // AQE broadcasts the (small) batch key set in the drizzle case and
-    // falls back to a shuffle semi-join for bulk loads.
+    // base versions are only consulted for keys THIS batch changes — for
+    // a SPARSE batch (`semiJoinBase`, decided by the caller from batch
+    // event count vs table rows), semi-join the key-column scans to the
+    // batch's key set before the merge aggregate, so a drizzle batch
+    // aggregates O(batch) base rows, not every key in every touched
+    // file; AQE broadcasts the small key set. For a BULK batch the
+    // semi-join's own distinct+probe cost exceeds what it saves
+    // (measured +45% on a whole-keyspace 2M-row batch), so it is
+    // skipped and the aggregate's map-side combine does the work.
     val batchKeys = fenced.select(col("repo"), col("path")).distinct()
-    def readKeyCols(fs: Seq[lake.FileEntry]) =
-      spark.read.schema(LakeTable.deleteSchema).parquet(fs.map(f =>
+    def readKeyCols(fs: Seq[lake.FileEntry]) = {
+      val base = spark.read.schema(LakeTable.deleteSchema).parquet(fs.map(f =>
         java.nio.file.Paths.get(lake.root, f.path).toString): _*)
-        .join(batchKeys, Seq("repo", "path"), "left_semi")
+      if (semiJoinBase) base.join(batchKeys, Seq("repo", "path"), "left_semi")
+      else base
+    }
     val touchedData = touched.filter(_.kind == "data")
     val touchedDel = touched.filter(_.kind == "delete")
     val parts: Seq[DataFrame] =
