@@ -466,22 +466,39 @@ class LakeTable(val root: String, spark: SparkSession,
       singleFile: Boolean = false): Option[Long] = {
     val snap = currentSnapshot.getOrElse(return None)
     val major = snap.deleteFiles.nonEmpty
-    // MAJOR compaction (any merge-on-read delete files present): rewrite
-    // the WHOLE table with deletes resolved and drop every delete file —
-    // a delete file may only be dropped once every data file that could
-    // hold its superseded rows has been rewritten, and after the resolved
-    // rewrite that is all of them. This is the MoR rent coming due in ONE
-    // periodic job instead of on every micro-batch (the Iceberg v2
-    // rewrite_data_files + rewrite_position_delete_files cycle).
+    // MAJOR compaction (any merge-on-read delete files present) is
+    // TARGETED, not whole-table: rewrite (deletes-resolved) exactly the
+    // data files whose [minRepo, maxRepo] overlaps some delete file's
+    // range, then drop every delete file. Sound because an equality-
+    // delete entry's repo lies inside its file's range, so any data file
+    // that could hold a superseded row overlaps that delete file and is
+    // in the rewrite set — after the rewrite no kept file can contain a
+    // deleted row. Localized delete churn (the common case on a
+    // range-clustered table) rewrites O(churn coverage), not O(table);
+    // whole-keyspace churn degenerates to the full rewrite it genuinely
+    // requires. This is the MoR rent coming due in ONE periodic job
+    // instead of on every micro-batch (the Iceberg v2 rewrite_data_files
+    // + rewrite_position_delete_files cycle). Small files below
+    // `minRows` join the rewrite for consolidation either way.
     val (small, keep) =
-      if (major) (snap.dataFiles, Nil)
-      else snap.files.partition(_.rows < minRows)
+      if (major) {
+        val dels = snap.deleteFiles
+        snap.dataFiles.partition(f => f.rows < minRows ||
+          dels.exists(d => d.minRepo <= f.maxRepo && d.maxRepo >= f.minRepo))
+      } else snap.files.partition(_.rows < minRows)
     if (!major && small.size < 2) return None
+    if (major && small.isEmpty)
+      // nothing to rewrite (every delete file's range misses all live
+      // data): just drop the delete files in a metadata-only commit
+      return Some(commit(s"compact-${snap.version + 1}", Map.empty, snap.schema,
+        keep, Nil, Map("compactedFiles" -> snap.deleteFiles.size.toLong,
+          "rowsAfter" -> keep.map(_.rows).sum),
+        baseVersion = Some(snap.version)))
     // rename-mapped scan: compaction REWRITES files, so its output
     // materializes old-named columns under their current names — the
     // rent-paying moment after which the rename mapping is inert
     val raw = readDataFiles(small, snap.schema, snap.renames)
-    val df = if (major) resolveDeletes(raw, snap) else raw
+    val df = if (major) resolveDeletes(raw, snap, scanned = Some(small)) else raw
     // range-cluster (not hash): compacted files get tight disjoint key
     // ranges, which is what keeps future CoW merges cheap
     val sized =

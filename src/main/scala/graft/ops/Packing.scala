@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing: concatenate documents in id order into one
+  * token stream and cut it every `budget` tokens — the standard
+  * sequence-packing step that turns a filtered corpus into fixed-size
+  * training shards.
+  *
+  * The naive formulation is a GLOBAL running sum
+  * (`sum(tokens) over (order by id)`), which Spark plans as an Exchange
+  * SinglePartition — one task owns the whole corpus, a non-starter at
+  * 100 TB. This implements the classic two-level distributed prefix sum
+  * instead:
+  *   1. range-partition by id (partition p holds ids strictly below
+  *      partition p+1 — ordering is preserved ACROSS partitions) and pin
+  *      the partitioning with a persist so both passes see identical
+  *      boundaries (range sampling is otherwise nondeterministic across
+  *      recomputes);
+  *   2. ONE metadata-scale aggregate of per-partition token totals to the
+  *      driver (≤ one row per partition) — scanLeft gives each
+  *      partition's exclusive global offset, shipped back as a literal
+  *      map (a projection, not a join);
+  *   3. a per-partition window (PARTITION BY partition id) computes the
+  *      within-partition exclusive running sum in parallel; global
+  *      start = partition offset + local prefix.
+  * Every stage is parallel over partitions; the only driver-side data is
+  * one long per partition.
+  */
+object Packing {
+
+  /** Assign each document its shard under concatenate-and-cut packing.
+    * `tokens` is the document's token count (NULL ⇒ 0). A document's
+    * shard is the shard its FIRST token lands in; `shard_off` is that
+    * token's offset inside the shard (documents straddle cuts, exactly
+    * like training-sequence packing does).
+    *
+    * Returns (idCol, n_tokens, start_tok, shard_id, shard_off), one row
+    * per input row. */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol), coalesce(tokens.cast("long"), lit(0L))
+      .as("n_tokens"))
+    // persist BEFORE reading partition ids: range boundaries are sampled,
+    // so an unpinned plan could re-sample between the offsets job and the
+    // final pass and mis-assign offsets
+    val parted = OpCaches.track(
+      base.repartitionByRange(col(idCol)).withColumn("_pid", spark_partition_id()))
+    val partSums = parted.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partSums.isEmpty) -1 else partSums.keys.max
+    val offsets: Seq[(Int, Long)] = (0 to maxPid)
+      .scanLeft((0, 0L)) { case ((_, acc), p) =>
+        (p + 1, acc + partSums.getOrElse(p, 0L)) }
+      .dropRight(1).zipWithIndex.map { case ((_, off), p) => (p, off) }
+    // empty input ⇒ no partitions observed; a typed dummy entry keeps the
+    // (never-evaluated) expression analyzable
+    val offMap =
+      if (offsets.isEmpty) map(lit(0), lit(0L))
+      else map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("start_tok",
+        element_at(offMap, col("_pid")) + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        // integer `div`, not `/`: float division loses exactness past
+        // 2^53 total tokens (a real corpus size)
+        expr(s"start_tok div ${budget}L").as("shard_id"),
+        pmod(col("start_tok"), lit(budget)).as("shard_off"))
+  }
+}

@@ -134,4 +134,47 @@ object Sketches {
       p: Int = 6): DataFrame =
     hllRegisters(df, keyCols, textCol, p)
       .select(keyCols.map(col) :+ hllEstimate(col("hll"), p).as("distinct_est"): _*)
+
+  /** Fixed-width-bin histogram quantiles per key group — the mergeable
+    * quantile sketch a corpus pipeline uses for sequence-length
+    * distributions (truncation/packing budgets are set from p50/p90/p99
+    * of token or char lengths, and an exact distributed quantile needs a
+    * global sort).
+    *
+    * Sketch state is the (bin → count) histogram: ONE map-side-combined
+    * hash aggregate over the scan, mergeable across partitions / batches
+    * / days by summing counts, O(groups × bins) rows total. The reported
+    * quantile is the smallest bin UPPER bound covering ≥ ⌈q·n⌉ rows — a
+    * conservative bound with error ≤ `binWidth`, deterministic in exact
+    * integer counts (the q·n product and its ceil are the only float
+    * steps, both IEEE-identical cross-engine). The per-group cumulative
+    * walk runs over bins, not rows — metadata-scale after the aggregate.
+    *
+    * NULL values carry no length information and are excluded (engines
+    * disagree on NULL sort order, so they cannot ride the bin walk).
+    *
+    * Returns one row per key group: keyCols, `n` (exact non-null count),
+    * and one `p<Q>_ub` column per requested quantile. */
+  def histogramQuantiles(df: DataFrame, keyCols: Seq[String], value: Column,
+      binWidth: Long, qs: Seq[Double]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad quantiles: $qs")
+    import org.apache.spark.sql.expressions.Window
+    // integer `div` (not float /): bins stay exact however large `value`
+    val bin = call_function("div", value.cast("long"), lit(binWidth))
+    val hist = df.filter(value.isNotNull)
+      .groupBy(keyCols.map(col) :+ bin.as("_bin"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wc = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_bin"))
+    val wt = Window.partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("_cum", sum(col("_cnt")).over(wc))
+      .withColumn("_total", sum(col("_cnt")).over(wt))
+    val qCols = qs.map { q =>
+      min(when(col("_cum") >= ceil(lit(q) * col("_total")),
+        (col("_bin") + 1) * binWidth)).as(s"p${(q * 100).round}_ub")
+    }
+    cum.groupBy(keyCols.map(col): _*)
+      .agg(max(col("_total")).as("n"), qCols: _*)
+  }
 }

@@ -77,4 +77,17 @@ object TextAnalysis {
     * MinHash(1) signature, engine-portable. */
   def shingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** Distinct word n-grams (whitespace tokens joined by a single space).
+    * Documents with fewer than n tokens yield an empty array; blank text
+    * yields an empty array (split of "" is [""], size 1 < n for n ≥ 2).
+    * Pure Column expression — evaluates inside the scan stage. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"word n-grams need n >= 2, got $n")
+    val w = split(trim(text), "\\s+")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

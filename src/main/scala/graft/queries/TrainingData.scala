@@ -191,7 +191,36 @@ object TrainingData {
     Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
   }
 
+  /** q37 — train/eval contamination: training docs sharing any word
+    * 8-gram with the held-out eval slice (doc_id % 10 == 0) — the
+    * GPT-3-style decontamination check ([[graft.ops.Contamination]]).
+    * Both sides ship md5 digests into the join, never gram text; the
+    * eval side is corpus-fraction-small → broadcast. */
+  def q37Contamination(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.evalOverlap(docs(spark, dir), "doc_id", "text",
+      col("doc_id") % 10 === 0, n = 8)
+
+  /** q38 — token-budget shard packing (concatenate-and-cut at 256
+    * tokens) via the two-level distributed prefix sum
+    * ([[graft.ops.Packing]]) — NO Exchange SinglePartition, unlike the
+    * naive global window the oracle states. */
+  def q38TokenPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packByTokenBudget(docs(spark, dir), "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 256L)
+
+  /** q39 — char-length distribution quantiles per language from the
+    * mergeable fixed-bin histogram sketch
+    * ([[graft.ops.Sketches.histogramQuantiles]]): p50/p90/p99 upper
+    * bounds at bin width 16 — the packing/truncation budget statistic,
+    * computed without a global sort. */
+  def q39LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.histogramQuantiles(docs(spark, dir), Seq("lang"),
+      length(col("text")), binWidth = 16L, qs = Seq(0.5, 0.9, 0.99))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_contamination" -> q37Contamination _,
+    "q38_token_packing" -> q38TokenPacking _,
+    "q39_length_quantiles" -> q39LengthQuantiles _,
     "q36_dedup_clusters" -> q36DedupClusters _,
     "q29_embedding_neardup" -> q29EmbeddingNearDup _,
     "q34_hll_distinct" -> q34HllDistinct _,
@@ -212,6 +241,61 @@ object TrainingData {
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q37_contamination" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), ng AS (
+        | SELECT doc_id, list_distinct([array_to_string(w[i:i+7], ' ')
+        |   for i in range(1, len(w)-7+1)]) AS gs
+        | FROM tok WHERE len(w) >= 8
+        |), ex AS (
+        | SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM ng
+        |), ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, n_grams, g FROM ex WHERE doc_id % 10 <> 0)
+        |SELECT tr.doc_id,
+        | CAST(max(tr.n_grams) AS BIGINT) AS n_grams,
+        | CAST(count(DISTINCT tr.g) AS BIGINT) AS n_hit_grams,
+        | CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+        | CAST(count(DISTINCT tr.g) AS DOUBLE) / CAST(max(tr.n_grams) AS DOUBLE)
+        |   AS hit_ratio
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id""".stripMargin,
+    "q38_token_packing" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents
+        |), c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok
+        | FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        | start_tok // 256 AS shard_id,
+        | start_tok % 256 AS shard_off
+        |FROM c""".stripMargin,
+    "q39_length_quantiles" ->
+      """WITH h AS (
+        | SELECT lang, length(text) // 16 AS bin, count(*) AS cnt
+        | FROM documents WHERE text IS NOT NULL
+        | GROUP BY lang, bin
+        |), c AS (
+        | SELECT lang, bin, cnt,
+        |   sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |   sum(cnt) OVER (PARTITION BY lang) AS total
+        | FROM h)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS n,
+        | CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * total) AS BIGINT)
+        |   THEN (bin+1)*16 END) AS BIGINT) AS p50_ub,
+        | CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT)
+        |   THEN (bin+1)*16 END) AS BIGINT) AS p90_ub,
+        | CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT)
+        |   THEN (bin+1)*16 END) AS BIGINT) AS p99_ub
+        |FROM c GROUP BY lang""".stripMargin,
     "q36_dedup_clusters" ->
       """WITH RECURSIVE d AS (
         | SELECT doc_id AS id,

@@ -82,4 +82,46 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(after == before)
   }
+
+  test("major compaction is targeted: only delete-overlapping files are rewritten") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakemortgt"), spark)
+    val morApp = new CdcApplier(lake, spark, mergeOnRead = true)
+    // four disjoint repo ranges (tg-g0-*, …, tg-g3-*), one batch each
+    def group(g: Int) = (0 until 200).map { i =>
+      ("UPDATE", g.toString, f"tg-g$g-r${i % 20}%02d", s"p${i % 10}",
+        s"c$g-$i", "scala", s"body-$g-$i", (g * 1000 + i).toLong)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    (0 until 4).foreach(g => morApp.applyBatch(group(g), s"t-$g"))
+    // sparse MoR update confined to group 0 → its delete file's
+    // [minRepo, maxRepo] stays inside the tg-g0 range
+    val upd = (0 until 5).map { i =>
+      ("UPDATE", "upd", f"tg-g0-r${(i * 3) % 20}%02d", s"p${(i * 3) % 10}",
+        s"cu$i", "scala", s"new-$i", (10000 + i).toLong)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    morApp.applyBatch(upd, "t-upd")
+    val snap = lake.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty)
+    assert(snap.deleteFiles.forall(d =>
+      d.minRepo.startsWith("tg-g0") && d.maxRepo.startsWith("tg-g0")))
+    val before = lake.read().select($"repo", $"path", $"commit", $"content")
+      .collect().map(_.toSeq).toSet
+    val keepExpected = snap.dataFiles.filter(f =>
+      !f.minRepo.startsWith("tg-g0")).map(_.path).toSet
+    assert(keepExpected.nonEmpty)
+
+    // minRows = 0: nothing is "small" — only the delete-overlap rule
+    // picks rewrite targets
+    assert(lake.compact(minRows = 0).nonEmpty)
+    val after = lake.currentSnapshot.get
+    assert(after.deleteFiles.isEmpty, "all delete files must be folded")
+    val afterPaths = after.dataFiles.map(_.path).toSet
+    assert(keepExpected.subsetOf(afterPaths),
+      "files outside the delete ranges must survive compaction UNREWRITTEN")
+    assert(snap.dataFiles.filter(_.minRepo.startsWith("tg-g0"))
+      .forall(f => !afterPaths.contains(f.path)),
+      "files inside the delete range must be rewritten")
+    val afterState = lake.read().select($"repo", $"path", $"commit", $"content")
+      .collect().map(_.toSeq).toSet
+    assert(afterState == before)
+  }
 }

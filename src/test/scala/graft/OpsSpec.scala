@@ -267,6 +267,68 @@ class OpsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("contamination: planted n-gram overlap flagged; clean and short docs are not") {
+    import graft.ops.Contamination
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),                 // eval
+      (1L, "x1 x2 a b c d e f g h zz"),            // train: shares one 8-gram with 0
+      (2L, "p q r s t u v w x y z"),               // train: clean
+      (3L, "a b c"),                               // train: too short for 8-grams
+      (4L, null.asInstanceOf[String])              // train: null text
+    ).toDF("doc_id", "text")
+    val out = Contamination.evalOverlap(corpus, "doc_id", "text",
+      $"doc_id" === 0L, n = 8).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    val r = out.head
+    // doc 1 has 11 tokens → 4 distinct 8-grams; exactly "a b c d e f g h"
+    // also appears in eval doc 0
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.25)
+  }
+
+  test("token packing: distributed prefix sum ≡ global running sum; no single-partition exchange") {
+    import graft.ops.Packing
+    val n = 500
+    val rows = (0 until n).map(i => (i.toLong, ((i * 37) % 13).toLong))
+    // shuffled, multi-partition input: the op must impose id order itself
+    val df = spark.createDataFrame(scala.util.Random.shuffle(rows))
+      .toDF("id", "toks").repartition(7)
+    val out = Packing.packByTokenBudget(df, "id", $"toks", budget = 50L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing must not plan a global window:\n$plan")
+    val got = out.collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, t) =>
+      assert(got(id) == ((t, acc, acc / 50, acc % 50)), s"doc $id")
+      acc += t
+    }
+    graft.ops.OpCaches.unpersistAll(spark)
+  }
+
+  test("histogram quantiles: upper bounds bracket exact quantiles within one bin; groups independent") {
+    import graft.ops.Sketches
+    val vals = (1 to 1000).map(i => ("g1", ((i * 7919) % 997).toLong)) ++
+      (1 to 100).map(i => ("g2", (i * 3).toLong))
+    val df = spark.createDataFrame(vals).toDF("g", "v").repartition(5)
+    val out = Sketches.histogramQuantiles(df, Seq("g"), $"v", binWidth = 16L,
+      qs = Seq(0.5, 0.9, 0.99)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def exactQ(xs: Seq[Long], q: Double): Long = {
+      val s = xs.sorted
+      s(math.ceil(q * s.size).toInt - 1)
+    }
+    for ((g, xs) <- vals.groupBy(_._1).view.mapValues(_.map(_._2))) {
+      val (cnt, p50, p90, p99) = out(g)
+      assert(cnt == xs.size)
+      for ((q, ub) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        val ex = exactQ(xs.toSeq, q)
+        assert(ub >= ex && ub - ex <= 16L, s"$g q=$q: ub=$ub exact=$ex")
+      }
+    }
+  }
+
   test("text analysis: token counts, language id, fingerprints behave") {
     val out = docs.select($"doc_id",
       TextAnalysis.tokenCount($"text").as("n"),

@@ -91,6 +91,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("q38: token packing never plans a single-partition exchange") {
+    val p = plan("q38_token_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the distributed prefix sum must not funnel into one task:\n$p")
+    assert(p.contains("Window"), "per-partition running sum should be a window")
+    graft.ops.OpCaches.unpersistAll(spark)
+  }
+
+  test("q37: contamination join is an equi-join on gram digests, no cartesian") {
+    val p = plan("q37_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must hash-join on digests:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (q10)") {
     val p = plan("q10_scalar_functions")
     // codegen stages render as "*(n)" in executedPlan.toString
