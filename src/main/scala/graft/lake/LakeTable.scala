@@ -513,6 +513,52 @@ class LakeTable(val root: String, spark: SparkSession,
       baseVersion = Some(snap.version)))
   }
 
+  /** MINOR compaction: consolidate accumulated merge-on-read delete
+    * files into one per-key-maximum delete file, touching NO data file.
+    * Between major compactions every MoR micro-batch adds a delete file,
+    * and every resolved read opens all of them — after 10^4 batches the
+    * read-side footprint is 10^4 tiny files. Consolidation replaces them
+    * with their per-key max (exactly the aggregate [[resolveDeletes]]
+    * computes on every read, materialized once), so reads open ONE
+    * delete file and the manifest shrinks — the Iceberg
+    * rewrite_position_delete_files idea for equality deletes. Table
+    * state is bit-identical: resolveDeletes(max-of-files) ≡
+    * resolveDeletes(consolidated) because max is associative.
+    *
+    * Cost is O(delete churn since the last major compaction), never
+    * O(table) — the job a scheduler runs every N micro-batches, with
+    * [[compact]] (major) reserved for folding deletes into data files.
+    * Safe to race the applier: the commit loop rebases, keeping delete
+    * files a concurrent batch added while dropping only the consolidated
+    * inputs. Returns the committed version, or None if fewer than
+    * `minFiles` delete files exist. */
+  def consolidateDeletes(minFiles: Int = 2): Option[Long] = {
+    val snap = currentSnapshot.getOrElse(return None)
+    val dels = snap.deleteFiles
+    if (dels.size < minFiles) return None
+    val merged = spark.read.schema(LakeTable.deleteSchema)
+      .parquet(dels.map(f => Paths.get(root, f.path).toString): _*)
+      .groupBy(col("repo"), col("path"))
+      .agg(max(struct(col("seq").as("s"), col("commit").as("c"))).as("_m"))
+      .select(col("repo"), col("path"),
+        col("_m.s").as("seq"), col("_m.c").as("commit"))
+      // the range-clustered write SAMPLES its input — persist so the
+      // delete aggregate runs once, not once per pass
+      .persist()
+    try {
+      val sized = merged.repartitionByRange(col("repo"), col("path"))
+      // blooms off: like MoR micro-batch output, delete files are always
+      // scanned whole by resolveDeletes, never point-probed
+      val added = writeDataFiles(sized, s"deletes-v${snap.version + 1}",
+        kind = "delete", blooms = false)
+      Some(commit(s"consolidate-deletes-${snap.version + 1}", Map.empty,
+        snap.schema, snap.dataFiles, added,
+        Map("consolidatedDeleteFiles" -> dels.size.toLong,
+          "rowsAfter" -> snap.dataFiles.map(_.rows).sum),
+        baseVersion = Some(snap.version)))
+    } finally { merged.unpersist(); () }
+  }
+
   /** Incremental change feed: rows whose winning `seq` is after
     * `afterSeq` — what a downstream CDC consumer reads per poll. Files
     * whose footer maxSeq ≤ afterSeq are pruned at the MANIFEST (zero IO):

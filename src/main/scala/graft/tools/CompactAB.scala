@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: TARGETED major compaction + delete-file consolidation under
+  * localized merge-on-read churn — the maintenance regime the 10^6-batch
+  * deployment schedules. Seeds a fat-content table (range-clustered into
+  * many files), applies MoR update drizzles confined to ONE narrow repo
+  * band, then measures:
+  *  - consolidateDeletes: delete-file count before/after (minor compact);
+  *  - compact (major): files rewritten vs total, bytes written vs table
+  *    bytes — the counterfactual whole-table rewrite writes ≈ table
+  *    bytes, so the ratio IS the targeted-compaction saving. */
+object CompactAB {
+  def main(args: Array[String]): Unit = {
+    val nSeed = args.headOption.map(_.toLong).getOrElse(200000L)
+    val extra = 60000L
+    val spark = graft.Bench.session(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cab").toString
+    val fat = (1 to 60).map(k => md5(concat(col("id").cast("string"), lit(s"-$k"))))
+      .reduce((a, b) => concat(a, b))
+    graft.gen.ChangeLogGen.events(spark, nSeed + extra, seed = 42L, nRepos = 1000,
+        pathsPerRepo = 100, parts = 32)
+      .filter(lower(col("source")) === "app.change.log")
+      .select(col("op"), col("part"), col("repo"), col("path"), col("commit"),
+        col("lang"), fat.as("content"), col("seq"))
+      .repartitionByRange(64, col("seq"))
+      .write.mode("overwrite").parquet(s"$dir/events")
+
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-cab-lake")
+    val lake = new graft.lake.LakeTable(lakeDir.toString, spark)
+    val ev = spark.read.parquet(s"$dir/events")
+    new graft.apply.CdcApplier(lake, spark)
+      .applyBatch(ev.filter(col("seq") < nSeed), "seed")
+    // churn confined to a COLD narrow band (5% of the repo range, away
+    // from the Zipf head): the localized-maintenance case
+    val band = ev.filter(col("seq") >= nSeed &&
+      col("repo") >= "repo-0300" && col("repo") < "repo-0350")
+    val nUpd = band.count()
+    val mor = new graft.apply.CdcApplier(lake, spark, mergeOnRead = true)
+    val per = extra / 8
+    (0 until 8).foreach { b =>
+      mor.applyBatch(band.filter(col("seq") >= nSeed + b * per &&
+        col("seq") < nSeed + (b + 1) * per), s"dz-$b")
+    }
+    val s0 = lake.currentSnapshot.get
+    def sizeOf(paths: Seq[String]): Long =
+      paths.map(p => java.nio.file.Files.size(
+        java.nio.file.Paths.get(lake.root, p))).sum
+    val tableBytes = sizeOf(s0.dataFiles.map(_.path))
+    println(f"CAB seed=$nSeed upd=$nUpd bandFiles: deletes=${s0.deleteFiles.size} data=${s0.dataFiles.size}")
+
+    val t1 = System.nanoTime()
+    lake.consolidateDeletes()
+    val consSec = (System.nanoTime() - t1) / 1e9
+    val s1 = lake.currentSnapshot.get
+    println(f"CAB consolidateDeletes: ${s0.deleteFiles.size} -> ${s1.deleteFiles.size} delete files in $consSec%.2f s (data files untouched: ${s1.dataFiles.map(_.path).toSet == s0.dataFiles.map(_.path).toSet})")
+
+    val t2 = System.nanoTime()
+    lake.compact(minRows = 0)
+    val compSec = (System.nanoTime() - t2) / 1e9
+    val s2 = lake.currentSnapshot.get
+    val prevPaths = s1.files.map(_.path).toSet
+    val added = s2.files.filterNot(f => prevPaths(f.path)).map(_.path)
+    val kept = s2.files.count(f => prevPaths(f.path))
+    val rewrittenBytes = sizeOf(added)
+    println(f"CAB targeted major compact: rewrote ${s1.dataFiles.size - kept}/${s1.dataFiles.size} files, " +
+      f"wrote ${rewrittenBytes / 1e6}%.1f MB of a ${tableBytes / 1e6}%.1f MB table " +
+      f"(${100.0 * rewrittenBytes / tableBytes}%.1f%%) in $compSec%.2f s; deletes left=${s2.deleteFiles.size}")
+
+    import scala.jdk.CollectionConverters._
+    Seq(java.nio.file.Paths.get(dir), lakeDir).foreach { p =>
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    }
+    spark.stop()
+  }
+}

@@ -124,4 +124,47 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(afterState == before)
   }
+
+  test("delete-file consolidation (minor compaction): per-key max, no data file touched") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakedelcons"), spark)
+    val morApp = new CdcApplier(lake, spark, mergeOnRead = true)
+    def batch(tag: String, seq0: Long, keys: Seq[Int]) = keys.map { k =>
+      ("UPDATE", "p0", f"dc-r$k%02d", s"p$k", s"c-$tag-$k", "scala",
+        s"body-$tag-$k", seq0 + k)
+    }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    morApp.applyBatch(batch("seed", 0, 0 until 20), "d-0")
+    // three update drizzles with OVERLAPPING keys: key 3 is superseded
+    // three times, so the per-key MAX (not any single file's entry) must
+    // decide liveness after consolidation
+    morApp.applyBatch(batch("u1", 1000, Seq(1, 3, 5)), "d-1")
+    morApp.applyBatch(batch("u2", 2000, Seq(3, 7)), "d-2")
+    morApp.applyBatch(batch("u3", 3000, Seq(3, 9, 11)), "d-3")
+    val snap = lake.currentSnapshot.get
+    assert(snap.deleteFiles.size >= 3)
+    val dataPaths = snap.dataFiles.map(_.path).toSet
+    val before = lake.read().select($"repo", $"path", $"commit", $"content")
+      .collect().map(_.toSeq).toSet
+
+    assert(lake.consolidateDeletes().nonEmpty)
+    val after = lake.currentSnapshot.get
+    assert(after.deleteFiles.size < snap.deleteFiles.size)
+    assert(after.dataFiles.map(_.path).toSet == dataPaths,
+      "minor compaction must not touch data files")
+    val afterState = lake.read().select($"repo", $"path", $"commit", $"content")
+      .collect().map(_.toSeq).toSet
+    assert(afterState == before)
+    // consolidated delete rows = per-key maxima: one row per superseded
+    // key VERSION chain, not per delete entry
+    val delRows = after.deleteFiles.map(_.rows).sum
+    assert(delRows == 6, s"expected 6 per-key maxima (1,3,5,7,9,11), got $delRows")
+    // already consolidated → no-op below the threshold
+    assert(lake.consolidateDeletes(minFiles = 2).isEmpty ||
+      after.deleteFiles.size >= 2)
+    // a later MAJOR compaction still folds everything
+    assert(lake.compact(minRows = 0).nonEmpty)
+    val finalSnap = lake.currentSnapshot.get
+    assert(finalSnap.deleteFiles.isEmpty)
+    assert(lake.read().select($"repo", $"path", $"commit", $"content")
+      .collect().map(_.toSeq).toSet == before)
+  }
 }
