@@ -237,7 +237,68 @@ object EngineE2E {
     out
   }
 
+  /** CoW twin of [[replayedLake]] for the data-source fast path: a plain
+    * copy-on-write replay leaves no merge-on-read delete files, so
+    * `format("graft")` binds it to the vectorized parquet scan
+    * ([[graft.sources.GraftDataSource]] bound path) instead of the
+    * resolving relation. Cached per (session, dir) like the MoR twin. */
+  private val cowLakes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LakeTable, Long)]
+
+  private def cowReplayedLake(spark: SparkSession, dir: String): (LakeTable, Long) =
+    cowLakes.getOrElseUpdate((spark, dir), {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val changes = asChanges(ev)
+      val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+      val lakeDir = java.nio.file.Files.createTempDirectory("graft-e2e-cowlake")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(lakeDir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(f =>
+            scala.util.Try(java.nio.file.Files.delete(f))))
+      }))
+      val lake = new LakeTable(lakeDir.toString, spark)
+      val applier = new CdcApplier(lake, spark)
+      val cut = maxSeq / 2
+      applier.applyBatch(changes.filter(col("seq") <= cut), "cow-0")
+      applier.applyBatch(changes.filter(col("seq") > cut), "cow-1")
+      (lake, maxSeq)
+    })
+
+  /** q40 — the SQL data source over a MERGE-ON-READ snapshot: read the
+    * shared replayed lake through `spark.read.format("graft")` with a
+    * repo-subset predicate. Delete files are live, so this certifies the
+    * RESOLVING relation end-to-end — manifest file pruning from V1
+    * filters, row-filter pushdown below the delete anti-resolution, and
+    * rename-free schema binding — against an oracle that knows only the
+    * LWW final state. */
+  def q40SqlSourceMor(spark: SparkSession, dir: String): DataFrame = {
+    val (lake, _) = replayedLake(spark, dir)
+    spark.read.format("graft").load(lake.root)
+      .filter(col("repo").isin("r0", "r5", "r11", "r23", "r36"))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"), col("seq"))
+  }
+
+  /** q41 — the SQL data source BOUND path: a copy-on-write replay (no
+    * delete files) read through `format("graft")` with a seq watermark —
+    * [[LakeTable.readSince]] expressed as plain SQL. The filter prunes
+    * files via the manifest's seq stats at planning time and continues
+    * into parquet row groups; the result must equal the LWW final state
+    * past the watermark. */
+  def q41SqlSourcePruned(spark: SparkSession, dir: String): DataFrame = {
+    val (lake, maxSeq) = cowReplayedLake(spark, dir)
+    val cut2 = 2 * maxSeq / 3
+    spark.read.format("graft").load(lake.root)
+      .filter(col("seq") > cut2)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"), col("seq"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_sql_source_mor" -> q40SqlSourceMor _,
+    "q41_sql_source_pruned" -> q41SqlSourcePruned _,
     "q32_observed_rules" -> q32ObservedRules _,
     "q22_cdc_engine_replay" -> q22CdcReplay _,
     "q25_lineage_metrics" -> q25Lineage _,
@@ -248,6 +309,36 @@ object EngineE2E {
     "q35_point_lookup" -> q35PointLookup _)
 
   val oracles: Map[String, String] = Map(
+    "q40_sql_source_mor" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        user_id,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'DELETE' AND user_id % 37 IN (0, 5, 11, 23, 36)""".stripMargin,
+    "q41_sql_source_pruned" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'DELETE'
+        |  AND seq > (SELECT (2*max(event_id))//3 FROM events)""".stripMargin,
     "q32_observed_rules" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |e AS (SELECT event_id, user_id,

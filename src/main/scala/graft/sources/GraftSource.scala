@@ -1,0 +1,313 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet => CInSet, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.LakeTable
+
+/** `spark.read.format("graft").load(tableRoot)` — the lake table as a
+  * first-class Spark data source, so plain SQL (`CREATE TEMPORARY VIEW …
+  * USING graft`) and the DataFrame reader see snapshot-consistent table
+  * state with MANIFEST-driven file pruning.
+  *
+  * Two execution paths, chosen per snapshot:
+  *
+  *  - **Bound scan** (no live merge-on-read delete files, no active
+  *    column-rename mapping): the snapshot binds straight to Spark's
+  *    vectorized parquet reader via [[HadoopFsRelation]] + a
+  *    [[GraftFileIndex]] whose `listFiles` answers from the MANIFEST —
+  *    never a directory listing (at 100 TB / object storage, LIST calls
+  *    and their eventual-consistency hazards are the thing a table
+  *    format exists to remove). Catalyst hands `listFiles` the query's
+  *    data filters, so `WHERE repo = 'x'` or `WHERE seq > w` prunes to
+  *    the O(1) overlapping files at PLANNING time using the manifest's
+  *    per-file `[minRepo, maxRepo]` / `[minSeq, maxSeq]` stats, and the
+  *    same predicates continue down into parquet row-group stats and
+  *    bloom filters (`PushedFilters` in the explain). Whole-stage
+  *    codegen, column pruning and AQE all apply — it is a normal
+  *    `FileSourceScanExec` whose file list came from the snapshot.
+  *
+  *  - **Resolving scan** (delete files or a live rename mapping
+  *    present): correctness needs the equality-delete anti-resolution /
+  *    rename coalesce that a bare file scan cannot express, so the
+  *    relation evaluates [[LakeTable.resolveDeletes]] over the
+  *    manifest-pruned file set (a [[PrunedFilteredScan]]; Spark
+  *    re-applies every filter above it, so pruning here is purely an IO
+  *    reduction and cannot change results). Compaction/consolidation
+  *    return the table to the bound-scan path — the scheduler's
+  *    maintenance cadence directly buys back SQL scan speed.
+  *
+  * Options: `versionAsOf` (snapshot time travel, ≙ Iceberg
+  * `VERSION AS OF`). Incremental consumption needs no option: a
+  * `WHERE seq > watermark` prunes files by the manifest seq stats —
+  * [[LakeTable.readSince]] expressed in plain SQL.
+  *
+  * Reference: the reference exposes its parquet output through a Glue
+  * catalog for downstream Athena/SQL consumers
+  * (`deployments/main.tf:101-132`); this connector is that hand-off
+  * surface, pointed at the transactional table instead of a bare
+  * directory.
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = ci.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a path"))
+    val spark = sqlContext.sparkSession
+    val lake = new LakeTable(path, spark)
+    val version = ci.get("versionasof").map(_.toLong)
+    val snap = version.map(lake.snapshot).orElse(lake.currentSnapshot)
+    snap match {
+      case None =>
+        // uninitialised table root: empty relation under the engine schema
+        new GraftResolvingRelation(spark, lake, None)
+      case Some(s) =>
+        // a rename mapping is ACTIVE only if some stored old name still
+        // maps onto a live column (same filter as LakeTable.readDataFiles)
+        val renamesActive = s.renames.exists { case (o, n) =>
+          s.schema.fieldNames.contains(n) && !s.schema.fieldNames.contains(o) }
+        if (s.deleteFiles.isEmpty && !renamesActive)
+          HadoopFsRelation(
+            location = new GraftFileIndex(spark, lake, s.version),
+            partitionSchema = new StructType(),
+            dataSchema = s.schema,
+            bucketSpec = None,
+            fileFormat = new ParquetFileFormat(),
+            options = parameters)(spark)
+        else new GraftResolvingRelation(spark, lake, Some(s.version))
+    }
+  }
+}
+
+/** Manifest-backed [[FileIndex]]: the file list, per-file sizes and the
+  * planning-time pruning all come from the pinned snapshot's manifest —
+  * zero directory listings, stable under concurrent commits (snapshot
+  * isolation: later commits write new manifests, never mutate this one's
+  * files). `listFiles` prunes with the same per-column bounds logic as
+  * the engine's own read paths ([[GraftPruning]]). */
+class GraftFileIndex(spark: SparkSession, lake: LakeTable, version: Long)
+    extends FileIndex {
+
+  private val snap = lake.snapshot(version)
+  private val rootHPath = new HPath(lake.root)
+
+  /** One driver-side status fetch per live file at index build (metadata
+    * scale, same O(files) the manifest read already is). Sizes feed
+    * Catalyst's scan statistics, so a well-pruned scan can still end up
+    * on the broadcast side of a join. */
+  private lazy val statuses: Map[String, FileStatus] = {
+    val fs = rootHPath.getFileSystem(spark.sessionState.newHadoopConf())
+    snap.dataFiles.map { f =>
+      f.path -> fs.getFileStatus(new HPath(rootHPath, f.path))
+    }.toMap
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(rootHPath)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned = GraftPruning.pruneCatalyst(snap.dataFiles, dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty,
+      pruned.map(f => statuses(f.path)).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    snap.dataFiles.map(f => new HPath(rootHPath, f.path).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+}
+
+/** Fallback relation for snapshots whose state a bare file scan cannot
+  * reproduce (live merge-on-read delete files / active rename mapping) —
+  * and for an uninitialised table (`version = None`, empty). Builds the
+  * engine's resolving read over the manifest-pruned file subset; Spark
+  * treats every filter as unhandled (the [[BaseRelation]] default), so
+  * the translation below is pure IO reduction. */
+class GraftResolvingRelation(spark: SparkSession, lake: LakeTable,
+    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private val snap = version.map(lake.snapshot)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override def schema: StructType =
+    snap.map(_.schema).getOrElse(graft.core.Model.lakeSchemaV1)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = snap match {
+      case None => emptyDf
+      case Some(s) =>
+        val pruned = GraftPruning.pruneSource(s.dataFiles, filters)
+        if (pruned.isEmpty) emptyDf
+        else {
+          val base = lake.readDataFiles(pruned, s.schema, s.renames)
+          // row filters commute with delete resolution (a row's survival
+          // depends only on the delete files, never on other rows), so
+          // push the translatable ones below it — parquet sees them
+          val filtered = GraftPruning.toColumns(filters)
+            .foldLeft(base)((d, c) => d.filter(c))
+          lake.resolveDeletes(filtered, s, scanned = Some(pruned))
+        }
+    }
+    df.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+
+  private def emptyDf: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+}
+
+/** File pruning from query predicates against manifest stats — sound
+  * ("may the file contain a matching row?") over the per-COLUMN bounds
+  * the manifest carries: `repo` string range and `seq` long range.
+  * `path` has no per-column bound in the manifest (the composite minKey
+  * is not a sound lexicographic path bound — see [[LakeTable.lookupKeys]]),
+  * so path predicates never prune files here; they still prune row
+  * groups inside parquet. Anything unrecognised keeps the file. */
+object GraftPruning {
+
+  type Entry = LakeTable#FileEntry
+
+  // generic in the element type: callers hold the PATH-DEPENDENT
+  // `lake.FileEntry` and the engine read paths require it back
+  def pruneCatalyst[E <: Entry](files: Seq[E], filters: Seq[Expression]): Seq[E] =
+    files.filter(f => filters.forall(e => mayMatchCatalyst(e, f)))
+
+  def pruneSource[E <: Entry](files: Seq[E], filters: Seq[Filter]): Seq[E] =
+    files.filter(f => filters.forall(e => mayMatchSource(e, f)))
+
+  // ---- bounds checks over one file's manifest stats --------------------
+  // Unknown seq stats are stored as the [Long.MinValue, Long.MaxValue]
+  // sentinels, so every comparison below degrades to "keep".
+
+  private def repoEq(f: Entry, v: String) = v >= f.minRepo && v <= f.maxRepo
+  private def repoGt(f: Entry, v: String) = f.maxRepo > v
+  private def repoGe(f: Entry, v: String) = f.maxRepo >= v
+  private def repoLt(f: Entry, v: String) = f.minRepo < v
+  private def repoLe(f: Entry, v: String) = f.minRepo <= v
+  private def seqEq(f: Entry, v: Long) = v >= f.minSeq && v <= f.maxSeq
+  private def seqGt(f: Entry, v: Long) = f.maxSeq > v
+  private def seqGe(f: Entry, v: Long) = f.maxSeq >= v
+  private def seqLt(f: Entry, v: Long) = f.minSeq < v
+  private def seqLe(f: Entry, v: Long) = f.minSeq <= v
+
+  private def eqB(f: Entry, name: String, v: Any): Boolean = (name, v) match {
+    case ("repo", s: String) => repoEq(f, s)
+    case ("seq", n: Number) => seqEq(f, n.longValue)
+    case _ => true
+  }
+  private def gtB(f: Entry, name: String, v: Any): Boolean = (name, v) match {
+    case ("repo", s: String) => repoGt(f, s)
+    case ("seq", n: Number) => seqGt(f, n.longValue)
+    case _ => true
+  }
+  private def geB(f: Entry, name: String, v: Any): Boolean = (name, v) match {
+    case ("repo", s: String) => repoGe(f, s)
+    case ("seq", n: Number) => seqGe(f, n.longValue)
+    case _ => true
+  }
+  private def ltB(f: Entry, name: String, v: Any): Boolean = (name, v) match {
+    case ("repo", s: String) => repoLt(f, s)
+    case ("seq", n: Number) => seqLt(f, n.longValue)
+    case _ => true
+  }
+  private def leB(f: Entry, name: String, v: Any): Boolean = (name, v) match {
+    case ("repo", s: String) => repoLe(f, s)
+    case ("seq", n: Number) => seqLe(f, n.longValue)
+    case _ => true
+  }
+
+  // ---- catalyst expression face (the FileIndex path) -------------------
+
+  /** Literal → external value (UTF8String → String, integrals → Long). */
+  private def ext(e: Expression): Option[Any] = e match {
+    case Literal(u: UTF8String, _) => Some(u.toString)
+    case Literal(n: java.lang.Number, _) => Some(n)
+    case _ => None
+  }
+
+  private[sources] def mayMatchCatalyst(e: Expression, f: Entry): Boolean = e match {
+    case CAnd(l, r) => mayMatchCatalyst(l, f) && mayMatchCatalyst(r, f)
+    case COr(l, r) => mayMatchCatalyst(l, f) || mayMatchCatalyst(r, f)
+    case CEqualTo(a: AttributeReference, v) =>
+      ext(v).forall(eqB(f, a.name, _))
+    case CEqualTo(v, a: AttributeReference) =>
+      ext(v).forall(eqB(f, a.name, _))
+    case CGreaterThan(a: AttributeReference, v) =>
+      ext(v).forall(gtB(f, a.name, _))
+    case CGreaterThan(v, a: AttributeReference) => // lit > col ≡ col < lit
+      ext(v).forall(ltB(f, a.name, _))
+    case CGreaterThanOrEqual(a: AttributeReference, v) =>
+      ext(v).forall(geB(f, a.name, _))
+    case CGreaterThanOrEqual(v, a: AttributeReference) =>
+      ext(v).forall(leB(f, a.name, _))
+    case CLessThan(a: AttributeReference, v) =>
+      ext(v).forall(ltB(f, a.name, _))
+    case CLessThan(v, a: AttributeReference) =>
+      ext(v).forall(gtB(f, a.name, _))
+    case CLessThanOrEqual(a: AttributeReference, v) =>
+      ext(v).forall(leB(f, a.name, _))
+    case CLessThanOrEqual(v, a: AttributeReference) =>
+      ext(v).forall(geB(f, a.name, _))
+    case CIn(a: AttributeReference, vs) =>
+      val lits = vs.flatMap(ext)
+      lits.size != vs.size || lits.exists(eqB(f, a.name, _))
+    case CInSet(a: AttributeReference, hset) =>
+      hset.exists { v =>
+        eqB(f, a.name, v match { case u: UTF8String => u.toString; case o => o })
+      }
+    case _ => true
+  }
+
+  // ---- V1 sources.Filter face (the resolving-relation path) ------------
+
+  private[sources] def mayMatchSource(e: Filter, f: Entry): Boolean = e match {
+    case And(l, r) => mayMatchSource(l, f) && mayMatchSource(r, f)
+    case Or(l, r) => mayMatchSource(l, f) || mayMatchSource(r, f)
+    case EqualTo(a, v) => eqB(f, a, v)
+    case GreaterThan(a, v) => gtB(f, a, v)
+    case GreaterThanOrEqual(a, v) => geB(f, a, v)
+    case LessThan(a, v) => ltB(f, a, v)
+    case LessThanOrEqual(a, v) => leB(f, a, v)
+    case In(a, vs) => vs.exists(v => eqB(f, a, v))
+    case _ => true
+  }
+
+  /** Best-effort translation of V1 filters back to Columns, for row-level
+    * pushdown inside the resolving relation's inner plan. Untranslatable
+    * filters are simply skipped — Spark re-applies all of them above. */
+  def toColumns(filters: Seq[Filter]): Seq[Column] = filters.flatMap(toColumn)
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case IsNull(a) => Some(col(a).isNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

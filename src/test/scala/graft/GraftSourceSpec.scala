@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.apply.CdcApplier
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+
+/** The `format("graft")` data source: bound (vectorized parquet) scans
+  * with manifest-driven planning-time file pruning, the resolving
+  * fallback for merge-on-read / renamed snapshots, time travel, and the
+  * SQL face. */
+class GraftSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canonical(n: Long, seed: Long): DataFrame =
+    ChangeLogGen.events(spark, n, seed)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+
+  /** CoW-shaped lake (no delete files) with a PRUNABLE file layout: two
+    * append commits (low-seq half, high-seq half), each range-clustered
+    * into two files — so both repo ranges and seq ranges genuinely
+    * differ per file. (The applier's MERGE at this toy scale folds
+    * everything into one AQE-sized file, which would leave nothing to
+    * prune — pruning itself is what this suite tests.) */
+  private lazy val cowLake: LakeTable = {
+    val lake = new LakeTable(TestSpark.tmpDir("srccow"), spark)
+    val ev = canonical(4000, 11L)
+      .select($"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    val mx = ev.agg(max($"seq")).head().getLong(0)
+    val lo = ev.filter($"seq" <= mx / 2)
+    val hi = ev.filter($"seq" > mx / 2)
+    val f1 = lake.writeDataFiles(
+      lo.repartitionByRange(2, col("repo"), col("path")), "src-lo")
+    lake.commit("src-0", Map("p0" -> mx / 2), ev.schema, Nil, f1)
+    val f2 = lake.writeDataFiles(
+      hi.repartitionByRange(2, col("repo"), col("path")), "src-hi")
+    lake.commit("src-1", Map("p0" -> mx), ev.schema,
+      lake.currentSnapshot.get.files, f2)
+    lake
+  }
+  private lazy val cowMid: Long = {
+    val ev = canonical(4000, 11L)
+    ev.agg(max($"seq")).head().getLong(0) / 2
+  }
+
+  private def readGraft(root: String): DataFrame =
+    spark.read.format("graft").load(root)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect() // force execution so adaptive plans are final
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(walk) ++
+        other.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select($"repo", $"path", $"commit", $"lang", $"seq")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("bound scan matches the engine read and binds to FileSourceScanExec") {
+    val viaSource = readGraft(cowLake.root)
+    assert(scans(viaSource).nonEmpty, "no-delete snapshot must bind to the file scan")
+    assert(sortedRows(viaSource) == sortedRows(cowLake.read()))
+  }
+
+  test("repo equality prunes files at planning time and reaches parquet pushdown") {
+    val snap = cowLake.currentSnapshot.get
+    val total = snap.dataFiles.size
+    assert(total >= 2, s"need multiple files to show pruning, got $total")
+    // the MINIMUM repo: deterministically inside the first file of each
+    // commit and outside the others (head() could land on a range
+    // boundary shared by every file)
+    val repo = cowLake.read().agg(min($"repo")).head().getString(0)
+    val q = readGraft(cowLake.root).filter($"repo" === repo)
+    val scan = scans(q).head
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles < total,
+      s"manifest pruning must skip files: scanned $numFiles of $total")
+    assert(scan.toString.contains("PushedFilters") &&
+      scan.toString.contains("EqualTo(repo,"),
+      "repo predicate must also push into the parquet scan")
+    assert(sortedRows(q) == sortedRows(cowLake.read().filter($"repo" === repo)))
+  }
+
+  test("seq watermark filter prunes files via manifest seq stats (readSince in SQL)") {
+    val snap = cowLake.currentSnapshot.get
+    val total = snap.dataFiles.size
+    // watermark between the two commits: files fully below it drop out
+    val w = cowMid
+    val q = readGraft(cowLake.root).filter($"seq" > w)
+    val scan = scans(q).head
+    assert(scan.metrics("numFiles").value < total,
+      "files whose maxSeq <= watermark must be pruned at planning time")
+    val (engineFeed, _, _) = cowLake.readSince(w)
+    assert(sortedRows(q) == sortedRows(engineFeed))
+  }
+
+  test("column pruning reaches the scan's ReadSchema") {
+    val q = readGraft(cowLake.root).select($"repo", $"seq")
+    val scan = scans(q).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("repo", "seq"))
+  }
+
+  test("merge-on-read snapshot takes the resolving path and matches; compaction rebinds the fast path") {
+    val lake = new LakeTable(TestSpark.tmpDir("srcmor"), spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
+    val ev = canonical(3000, 13L)
+    val mx = ev.agg(max($"seq")).head().getLong(0)
+    applier.applyBatch(ev.filter($"seq" <= mx / 2), "mor-0")
+    applier.applyBatch(ev.filter($"seq" > mx / 2), "mor-1")
+    assert(lake.currentSnapshot.get.deleteFiles.nonEmpty, "MoR replay must leave delete files")
+    val viaSource = readGraft(lake.root)
+    assert(scans(viaSource).isEmpty,
+      "live delete files must route through the resolving relation")
+    assert(sortedRows(viaSource) == sortedRows(lake.read()))
+    // filters still correct through the resolving path
+    val repo = lake.read().select($"repo").head().getString(0)
+    assert(sortedRows(readGraft(lake.root).filter($"repo" === repo)) ==
+      sortedRows(lake.read().filter($"repo" === repo)))
+    // major compaction folds the deletes → a FRESH relation binds fast again
+    lake.compact(minRows = Long.MaxValue)
+    val after = readGraft(lake.root)
+    assert(scans(after).nonEmpty, "compacted snapshot must rebind to the file scan")
+    assert(sortedRows(after) == sortedRows(lake.read()))
+  }
+
+  test("versionAsOf reads the historical snapshot") {
+    val v0 = cowLake.versions.find(v => cowLake.snapshot(v).batchId == "src-0").get
+    val viaSource = spark.read.format("graft")
+      .option("versionAsOf", v0.toString).load(cowLake.root)
+    assert(sortedRows(viaSource) == sortedRows(cowLake.read(Some(v0))))
+  }
+
+  test("rename mapping routes through the resolving scan and maps old files") {
+    val lake = new LakeTable(TestSpark.tmpDir("srcren"), spark)
+    val applier = new CdcApplier(lake, spark)
+    applier.applyBatch(canonical(1500, 17L), "ren-0")
+    lake.renameColumn("lang", "language")
+    val viaSource = readGraft(lake.root)
+    assert(scans(viaSource.select($"language")).isEmpty,
+      "active rename mapping must route through the resolving relation")
+    assert(viaSource.columns.contains("language") && !viaSource.columns.contains("lang"))
+    assert(viaSource.filter($"language".isNotNull).count() ==
+      lake.read().filter($"language".isNotNull).count())
+    assert(sortedRowsRenamed(viaSource) == sortedRowsRenamed(lake.read()))
+  }
+
+  private def sortedRowsRenamed(df: DataFrame): Seq[String] =
+    df.select($"repo", $"path", $"commit", $"language", $"seq")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("SQL face: CREATE TEMPORARY VIEW ... USING graft") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_src_view
+         |USING graft OPTIONS (path '${cowLake.root}')""".stripMargin)
+    val viaSql = spark.sql("SELECT repo, count(*) AS n FROM graft_src_view GROUP BY repo")
+    val expected = cowLake.read().groupBy($"repo").agg(count(lit(1)).as("n"))
+    assert(viaSql.collect().map(_.toString).sorted.toSeq ==
+      expected.collect().map(_.toString).sorted.toSeq)
+    spark.sql("DROP VIEW graft_src_view")
+  }
+
+  test("empty table root yields an empty relation under the engine schema") {
+    val lake = new LakeTable(TestSpark.tmpDir("srcempty"), spark)
+    val df = readGraft(lake.root)
+    assert(df.count() == 0)
+    assert(df.columns.contains("repo"))
+  }
+}
