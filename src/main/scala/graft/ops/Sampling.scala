@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixture construction.
+  *
+  * A corpus pipeline rebalances sources/languages by DOWN-SAMPLING each
+  * stratum to a target rate (the mixture-weighting step of an LLM data
+  * recipe). Requirements at 100 TB:
+  *
+  *  - **Deterministic & reproducible**: the keep/drop decision is a pure
+  *    function of the row KEY (first 16 bits of md5(key) vs. a rate
+  *    threshold), so re-runs, retries and incremental batches agree —
+  *    `rand()`-based sampling is neither reproducible across retries nor
+  *    consistent between a batch and its reprocessing.
+  *  - **Coordination-free**: a pure projection + filter inside the scan
+  *    stage — no shuffle, no per-stratum count pass, no driver state.
+  *  - **Consistent across tables**: the same key samples identically
+  *    everywhere, so derived tables (text + embeddings) stay aligned.
+  *
+  * Each kept row carries `sample_weight = 1/rate` for unbiased
+  * downstream accounting (Horvitz-Thompson). With power-of-two rates
+  * both the 16-bit threshold and the weight are IEEE-exact, making the
+  * operator bit-reproducible cross-engine (the q43 oracle gate).
+  */
+object Sampling {
+
+  private val Scale = 65536L // 16 bits of md5 — exact in a long
+
+  /** Per-stratum deterministic hash sample: keep a row iff the first 16
+    * bits of `md5(key)` fall below `rate(stratum) · 65536`; rates not in
+    * the map use `defaultRate`. Returns the input columns plus
+    * `sample_weight` (= 1/rate). Rate 1.0 keeps everything; rate 0.0
+    * drops the stratum entirely. */
+  def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates default $defaultRate")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(strataCol === s, lit(r)).otherwise(acc)
+    }
+    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.filter(bucket < floor(rate * lit(Scale.toDouble)).cast("long"))
+      .withColumn("sample_weight", lit(1.0) / rate)
+  }
+}

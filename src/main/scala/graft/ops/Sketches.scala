@@ -135,6 +135,72 @@ object Sketches {
     hllRegisters(df, keyCols, textCol, p)
       .select(keyCols.map(col) :+ hllEstimate(col("hll"), p).as("distinct_est"): _*)
 
+  /** Heavy hitters (frequent items): every item whose count exceeds
+    * `N / (k+1)`, with its EXACT count — the two-phase Misra-Gries
+    * pattern (Misra & Gries 1982; the "MG summary" of Agarwal et al.,
+    * Mergeable Summaries, PODS 2012).
+    *
+    * Phase 1 (one pass over the items): each partition runs a k-counter
+    * Misra-Gries summary in a `mapPartitions` (justified imperative
+    * kernel: the decrement-all step is inherently stateful) and emits at
+    * most k candidate items plus its local row count. The union of
+    * per-partition summaries is a GUARANTEED superset of the true heavy
+    * hitters: if count(x) > N/(k+1) globally then by pigeonhole some
+    * partition has count_p(x) > n_p/(k+1), and MG with k counters always
+    * retains such an item. Shuffle volume: ≤ k+1 rows per partition,
+    * independent of data size.
+    *
+    * Phase 2 (second pass): exact counts for candidates only — a
+    * broadcast LEFT-SEMI join (candidates are ≤ k × partitions rows)
+    * followed by one map-side-combined count aggregate, then the
+    * exact-integer threshold `cnt · (k+1) > N`. The output is therefore
+    * EXACT and deterministic (partitioning affects only the candidate
+    * superset, never the result) — which is what makes it oracle-gatable
+    * against plain SQL `GROUP BY … HAVING`.
+    *
+    * At 100 TB: exact top-token accounting (`GROUP BY token`) shuffles
+    * every distinct item; this shuffles O(k × partitions) candidates and
+    * counts only those. The two passes re-scan the input — callers with
+    * a cheap-to-recompute item projection (a tokenizer over a column
+    * scan) should prefer the re-scan over persisting an exploded token
+    * table. The phase-1 summary itself is persisted (metadata-scale,
+    * registered with [[OpCaches]]).
+    *
+    * Returns one row per heavy hitter: (itemCol, cnt, share). */
+  def frequentItems(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ds = items.select(col(itemCol).cast("string")).na.drop().as[String]
+    val summary = OpCaches.track(ds.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { x =>
+        n += 1
+        counters.get(x) match {
+          case Some(c) => counters.update(x, c + 1)
+          case None if counters.size < k => counters.update(x, 1L)
+          case None =>
+            counters.filterInPlace((_, c) => c > 1)
+              .mapValuesInPlace((_, c) => c - 1)
+            ()
+        }
+      }
+      // candidates ride as (item, 0); the partition row count as (null, n)
+      counters.keysIterator.map(s => (Option(s), 0L)) ++
+        Iterator((Option.empty[String], n))
+    }.toDF("item", "np"))
+    val total = summary.filter(col("item").isNull)
+      .agg(sum(col("np"))).head().getLong(0)
+    val cand = summary.filter(col("item").isNotNull)
+      .select(col("item").as(itemCol)).distinct()
+    items.join(broadcast(cand), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k + 1L) > lit(total))
+      .withColumn("share", col("cnt").cast("double") / lit(total.toDouble))
+  }
+
   /** Fixed-width-bin histogram quantiles per key group — the mergeable
     * quantile sketch a corpus pipeline uses for sequence-length
     * distributions (truncation/packing budgets are set from p50/p90/p99

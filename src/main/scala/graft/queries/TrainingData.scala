@@ -217,7 +217,38 @@ object TrainingData {
     graft.ops.Sketches.histogramQuantiles(docs(spark, dir), Seq("lang"),
       length(col("text")), binWidth = 16L, qs = Seq(0.5, 0.9, 0.99))
 
+  /** q42 — corpus heavy hitters: every token whose count exceeds
+    * N/(k+1), exact, via the two-phase Misra-Gries pattern
+    * ([[graft.ops.Sketches.frequentItems]]): per-partition k-counter
+    * summaries (≤ k+1 rows shuffled per partition) guarantee a candidate
+    * superset; a broadcast semi-join + one count aggregate makes the
+    * result exact — so plain SQL `GROUP BY … HAVING` can gate it. k=31
+    * puts the near-uniform vocabulary right at the threshold boundary
+    * (one common token falls just under N/32), exercising the integer
+    * threshold arithmetic. */
+  def q42HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    graft.ops.Sketches.frequentItems(toks, "token", k = 31)
+  }
+
+  /** q43 — training-mixture stratified sampling
+    * ([[graft.ops.Sampling.stratifiedHashSample]]): deterministic
+    * per-language down-sampling by 16-bit md5 bucket with
+    * Horvitz-Thompson weights — a pure projection+filter in the scan
+    * stage (no shuffle, no rand()), reproducible across retries and
+    * batches. Power-of-two rates keep threshold and weight IEEE-exact
+    * for the cross-engine gate. */
+  def q43StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedHashSample(docs(spark, dir),
+      col("doc_id"), col("lang"),
+      Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0), defaultRate = 0.125)
+      .select(col("doc_id"), col("lang"), col("sample_weight"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_heavy_hitters" -> q42HeavyHitters _,
+    "q43_stratified_sample" -> q43StratifiedSample _,
     "q37_contamination" -> q37Contamination _,
     "q38_token_packing" -> q38TokenPacking _,
     "q39_length_quantiles" -> q39LengthQuantiles _,
@@ -241,6 +272,26 @@ object TrainingData {
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q42_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(*) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share
+        |FROM tok GROUP BY token
+        |HAVING count(*) * 32 > (SELECT n FROM tot)""".stripMargin,
+    "q43_stratified_sample" ->
+      """WITH r AS (
+        | SELECT doc_id, lang,
+        |  list_sum([ CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |      * (CAST(1 AS BIGINT) << (4*(4-j))) for j in range(1, 5)]) AS bucket,
+        |  CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
+        |       WHEN 'de' THEN 1.0 ELSE 0.125 END AS DOUBLE) AS rate
+        | FROM documents)
+        |SELECT doc_id, lang, CAST(1.0 AS DOUBLE) / rate AS sample_weight
+        |FROM r WHERE bucket < CAST(floor(rate * 65536.0) AS BIGINT)""".stripMargin,
     "q37_contamination" ->
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -329,6 +329,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: exact counts above N/(k+1), partitioning-invariant") {
+    import graft.ops.Sketches
+    // skewed stream: 'hot' 40%, 'warm' 20%, 100 distinct cold items ~0.4% each
+    val items = ((1 to 400).map(_ => "hot") ++ (1 to 200).map(_ => "warm") ++
+      (0 until 400).map(i => s"cold${i % 100}")).toDF("item")
+    val k = 9 // threshold N/10 = 100
+    val expected = items.groupBy($"item").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * (k + 1) > 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.map(_._1) == Set("hot", "warm"))
+    def run(parts: Int): Set[(String, Long)] =
+      Sketches.frequentItems(items.repartition(parts), "item", k)
+        .select($"item", $"cnt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // result is exact and identical at any parallelism: the per-partition
+    // MG summaries only shape the candidate SUPERSET, never the output
+    assert(run(1) == expected)
+    assert(run(8) == expected)
+    graft.ops.OpCaches.unpersistAll(spark)
+  }
+
+  test("stratified hash sample: deterministic, weighted, strata-scoped") {
+    import graft.ops.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val rates = Map("a" -> 1.0, "b" -> 0.25)
+    val s1 = Sampling.stratifiedHashSample(df, $"id", $"grp", rates, 0.125)
+    val s2 = Sampling.stratifiedHashSample(df, $"id", $"grp", rates, 0.125)
+    val rows1 = s1.collect().map(_.toString).sorted.toSeq
+    // deterministic: same input → same sample, no rand()
+    assert(rows1 == s2.collect().map(_.toString).sorted.toSeq)
+    // rate-1.0 stratum keeps everything at weight 1; sampled stratum is
+    // near its rate (16-bit hash uniformity) and carries weight 1/rate
+    val a = s1.filter($"grp" === "a")
+    assert(a.count() == 500 && a.select($"sample_weight").distinct().head().getDouble(0) == 1.0)
+    val b = s1.filter($"grp" === "b")
+    val frac = b.count().toDouble / 1500.0
+    assert(frac > 0.18 && frac < 0.32, s"b-stratum fraction $frac far from 0.25")
+    assert(b.select($"sample_weight").distinct().head().getDouble(0) == 4.0)
+    // sample is a subset: every kept id exists in the input
+    assert(s1.join(df, Seq("id", "grp"), "left_anti").count() == 0)
+  }
+
   test("text analysis: token counts, language id, fingerprints behave") {
     val out = docs.select($"doc_id",
       TextAnalysis.tokenCount($"text").as("n"),
