@@ -890,8 +890,9 @@ object LakeTable {
     org.apache.spark.sql.types.StructField("commit", org.apache.spark.sql.types.StringType)))
 
   /** Name-union of two schemas, `a`'s order first — the rebase rule for
-    * concurrent additive schema promotion. */
-  private[lake] def unionSchemas(a: StructType, b: StructType): StructType =
+    * concurrent additive schema promotion (also the append-sink schema
+    * rule, [[graft.sources.GraftDataSource]]). */
+  private[graft] def unionSchemas(a: StructType, b: StructType): StructType =
     StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
 
   /** Row count + (repo, path) string min/max + seq long min/max from a

@@ -57,9 +57,80 @@ import graft.lake.LakeTable
   * surface, pointed at the transactional table instead of a bare
   * directory.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode(…).save(root)` — the TRANSACTIONAL
+    * append/overwrite sink (the reference's append-only parquet sink,
+    * `convert_to_parquet.py:236-238`, with a commit fence instead of
+    * bare files):
+    *
+    *  - files are range-clustered on (repo, path) when those columns
+    *    exist, so manifest pruning works on what this path writes;
+    *  - the commit is the same optimistic atomic-rename loop the applier
+    *    uses — concurrent writers rebase, a torn write is invisible
+    *    (files without a manifest are vacuumable orphans);
+    *  - `option("batchId", id)` makes the save IDEMPOTENT: a retried
+    *    save with the same batchId is a metadata no-op via the
+    *    applied-batch fence — Spark task retries already cannot double
+    *    (the stage dir is overwritten, the commit is single);
+    *  - `Append` unions schemas by name (additive evolution: old files
+    *    resolve missing columns as null at read); `Overwrite` replaces
+    *    files AND schema.
+    *
+    * This path writes ROWS, not CDC semantics: LWW merge stays the
+    * applier's job. It is the hand-off for non-CDC producers (backfills,
+    * derived tables) that still want snapshot isolation. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = ci.getOrElse("path",
+      throw new IllegalArgumentException("graft sink requires a path"))
+    val spark = sqlContext.sparkSession
+    val lake = new LakeTable(path, spark)
+    val head = lake.currentSnapshot
+    val exists = head.exists(_.dataFiles.nonEmpty)
+    val proceed = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already has data: $path")
+      case SaveMode.Ignore if exists => false
+      case _ => true
+    }
+    if (proceed) {
+      val keyed = data.columns.contains("repo") && data.columns.contains("path")
+      val clustered =
+        if (keyed) data.repartitionByRange(col("repo"), col("path")) else data
+      val batchId = ci.getOrElse("batchid",
+        s"save-${java.util.UUID.randomUUID().toString.take(12)}")
+      // idempotence pre-check mirrors commit's fence (offsets are empty
+      // for a save, so the fence is the batchId alone) — skip the WRITE,
+      // not just the commit, on replay
+      val replayed = head.exists(_.applied.get(batchId).contains(""))
+      if (!replayed) {
+        val added = lake.writeDataFiles(clustered, batchId)
+        mode match {
+          case SaveMode.Overwrite =>
+            lake.commit(batchId, Map.empty, data.schema, Nil, added,
+              Map("rowsAfter" -> added.map(_.rows).sum),
+              baseVersion = head.map(_.version))
+          case _ =>
+            val schema = head.map(h => LakeTable.unionSchemas(h.schema, data.schema))
+              .getOrElse(data.schema)
+            val retain = head.map(_.files).getOrElse(Nil)
+            lake.commit(batchId, Map.empty, schema, retain, added,
+              Map("rowsAfter" ->
+                (retain.filter(_.kind == "data") ++ added).map(_.rows).sum),
+              baseVersion = head.map(_.version))
+        }
+        ()
+      }
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
