@@ -81,13 +81,20 @@ object TextAnalysis {
   /** Distinct word n-grams (whitespace tokens joined by a single space).
     * Documents with fewer than n tokens yield an empty array; blank text
     * yields an empty array (split of "" is [""], size 1 < n for n ≥ 2).
-    * Pure Column expression — evaluates inside the scan stage. */
+    * Pure Column expression — evaluates inside the scan stage.
+    *
+    * The token array is BOUND ONCE per row through a lambda variable
+    * (`transform(array(split…), w => …)` + `element_at`): naming the
+    * split as a plain `val` inlines it into the per-element lambda, and
+    * higher-order functions re-evaluate non-lambda children per element
+    * — the regex split would run once per OUTPUT n-gram, O(tokens²)
+    * regex work per document (measured 5× slower at sf0.1). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 2, s"word n-grams need n >= 2, got $n")
-    val w = split(trim(text), "\\s+")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    element_at(transform(array(split(trim(text), "\\s+")), w =>
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))), 1)
   }
 }
