@@ -58,9 +58,34 @@ import graft.lake.LakeTable
   * directory.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming face: the table as a change-feed stream ---------------
+  // (see GraftStreamSource for semantics)
+
+  private def streamSchema(spark: SparkSession, ci: Map[String, String]): StructType =
+    new LakeTable(ci("path"), spark).currentSnapshot.map(_.schema)
+      .getOrElse(graft.core.Model.lakeSchemaV1)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    require(ci.contains("path"), "graft stream source requires a path")
+    (shortName(), schema.getOrElse(streamSchema(sqlContext.sparkSession, ci)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val spark = sqlContext.sparkSession
+    new GraftStreamSource(spark, ci("path"),
+      ci.get("startingversion").map(_.toLong),
+      schema.getOrElse(streamSchema(spark, ci)))
+  }
 
   /** `df.write.format("graft").mode(…).save(root)` — the TRANSACTIONAL
     * append/overwrite sink (the reference's append-only parquet sink,

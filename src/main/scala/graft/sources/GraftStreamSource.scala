@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => SourceOffset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeTable
+
+/** `spark.readStream.format("graft").load(root)` — the lake table as a
+  * STRUCTURED STREAM: each micro-batch delivers the rows whose winning
+  * `seq` advanced past the previous batch's watermark (the
+  * [[LakeTable.readSince]] change feed under checkpointed offsets — the
+  * Delta/Iceberg "table as a stream" face, push-style CDC consumption
+  * without a message bus).
+  *
+  * Exactly-once mechanics:
+  *  - an OFFSET is a SNAPSHOT VERSION. `getOffset` reports the current
+  *    head; `getBatch(v1, v2)` reads snapshot v2 (pinned — concurrent
+  *    commits cannot move it) and keeps rows with `seq >` the watermark
+  *    of v1, where a version's watermark is the max `seq` its manifest's
+  *    file stats record. Both ends come from MANIFESTS, so a replayed
+  *    (v1, v2] after a crash rebuilds the identical batch — provided the
+  *    snapshots are retained, the standard streaming-read retention
+  *    contract ([[LakeTable.expireSnapshots]]'s keepLast must outlive
+  *    checkpoint lag, exactly like Delta's streaming source vs VACUUM).
+  *  - file-level seq-stats pruning makes each batch's scan proportional
+  *    to the churn since the last trigger, never table size; delete
+  *    files and rename mappings resolve inside `readSince`, so a
+  *    merge-on-read table streams correctly between compactions.
+  *  - maintenance commits (compaction, consolidation, expiry) advance
+  *    the version but not the watermark → empty micro-batches, no
+  *    duplicate delivery.
+  *
+  * Schema is pinned at stream start (the standard structured-streaming
+  * contract); rows from later, wider snapshots are conformed to it —
+  * restart the stream to pick up promoted columns.
+  *
+  * `option("startingVersion", v)`: begin after version v's watermark
+  * (default: deliver the whole existing table as the first batch, then
+  * increments). */
+class GraftStreamSource(spark: SparkSession, root: String,
+    startingVersion: Option[Long], declaredSchema: StructType) extends Source {
+
+  private val lake = new LakeTable(root, spark)
+
+  override def schema: StructType = declaredSchema
+
+  /** Max winning seq recorded by a snapshot's data-file stats; MinValue
+    * for an empty table (every row's seq beats it). Files without seq
+    * stats carry the MaxValue sentinel and are excluded — they cannot
+    * define a CDC watermark (a non-CDC table streams as one batch). */
+  private def watermark(version: Long): Long = {
+    val stats = lake.snapshot(version).dataFiles
+      .map(_.maxSeq).filter(_ != Long.MaxValue)
+    if (stats.isEmpty) Long.MinValue else stats.max
+  }
+
+  override def getOffset: Option[SourceOffset] =
+    lake.currentVersion.map(LongOffset(_))
+
+  override def getBatch(start: Option[SourceOffset], end: SourceOffset): DataFrame = {
+    val endV = end match {
+      case LongOffset(v) => v
+      case o => o.json().toLong
+    }
+    val afterSeq = start
+      .map { case LongOffset(v) => v; case o => o.json().toLong }
+      .orElse(startingVersion)
+      .map(watermark)
+      .getOrElse(Long.MinValue)
+    val (feed, _, _) = lake.readSince(afterSeq, version = Some(endV))
+    // conform to the pinned schema: later snapshots may be wider
+    val conformed = feed.select(declaredSchema.fields.toSeq.map { f =>
+      if (feed.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // MicroBatchExecution asserts isStreaming on the returned frame; the
+    // inner plan stays lazy (toRdd builds lineage, executes per trigger)
+    org.apache.spark.sql.GraftSparkInternals.streamingDataFrame(
+      spark, conformed.queryExecution.toRdd, conformed.schema)
+  }
+
+  override def commit(end: SourceOffset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,24 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Bridge to ONE `private[sql]` Spark API that V1 streaming sources
+  * cannot avoid: `MicroBatchExecution` asserts that `Source.getBatch`
+  * returns a DataFrame with `isStreaming = true`, and the only way to
+  * build one is `internalCreateDataFrame(rdd, schema, isStreaming =
+  * true)` — which is how Spark's own `KafkaSource` builds its batches.
+  * This object lives in the `org.apache.spark.sql` package solely to
+  * satisfy the `private[sql]` access check (the long-standing connector
+  * idiom); it adds no behavior. Everything else in this repository uses
+  * public APIs. */
+object GraftSparkInternals {
+
+  /** Wrap a lazily-evaluated InternalRow RDD as a streaming-tagged
+    * DataFrame for `Source.getBatch`. */
+  def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

@@ -214,6 +214,55 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(readGraft(root).count() == 2)
   }
 
+  private def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(120000)
+    if (q.isActive) { q.stop(); q.awaitTermination() }
+  }
+
+  test("streaming source: drain delivers the table, checkpoint restart delivers only new changes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TestSpark.tmpDir("srcstream")
+    val ck = TestSpark.tmpDir("srcstream-ck")
+    val lake = new LakeTable(root, spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
+    val ev = canonical(3000, 19L)
+    val mx = ev.agg(max($"seq")).head().getLong(0)
+    applier.applyBatch(ev.filter($"seq" <= mx / 2), "st-0")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"repo", $"path", $"seq").collect()
+            .foreach(r => got.add((r.getString(0), r.getString(1), r.getLong(2))))
+          ()
+        }.start()
+      awaitAndStop(q)
+    }
+    // first drain = the whole current table state (MoR deletes resolved)
+    drain()
+    def tableNow: Set[(String, String, Long)] = lake.read()
+      .select($"repo", $"path", $"seq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val afterB0 = tableNow
+    assert(got.toArray.toSet == afterB0.map(_.asInstanceOf[Any]))
+    // second batch lands; a restart from the SAME checkpoint must deliver
+    // exactly the rows whose winning seq advanced — never re-deliver b0
+    got.clear()
+    applier.applyBatch(ev.filter($"seq" > mx / 2), "st-1")
+    drain()
+    val w0 = afterB0.map(_._3).max
+    val expected = tableNow.filter(_._3 > w0)
+    assert(expected.nonEmpty)
+    assert(got.toArray.toSet == expected.map(_.asInstanceOf[Any]))
+    // maintenance-only commit advances the version but delivers nothing
+    got.clear()
+    lake.compact(minRows = Long.MaxValue)
+    drain()
+    assert(got.isEmpty, "compaction must stream as an empty batch, not re-delivery")
+  }
+
   test("empty table root yields an empty relation under the engine schema") {
     val lake = new LakeTable(TestSpark.tmpDir("srcempty"), spark)
     val df = readGraft(lake.root)
