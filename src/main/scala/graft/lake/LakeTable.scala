@@ -53,12 +53,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * 10^6 micro-batches.
   */
 class LakeTable(val root: String, spark: SparkSession,
-    val appliedWindow: Int = 128) {
+    val appliedWindow: Int = 128, val chunkSize: Int = 512) {
 
   private val metaDir = Paths.get(root, "meta")
   private val dataDir = Paths.get(root, "data")
   Files.createDirectories(metaDir)
   Files.createDirectories(dataDir)
+
+  /** Parsed manifest CHUNKS by file name — chunk files are immutable, so
+    * the cache is always valid; bounded by live metadata size. */
+  private val chunkCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[FileEntry]]
 
   /** One immutable file in a snapshot. `kind` is `"data"` (table rows)
     * or `"delete"` (merge-on-read equality-delete entries: one
@@ -77,10 +82,17 @@ class LakeTable(val root: String, spark: SparkSession,
     * schema with the old names and coalesce them into the current one
     * ([[readDataFiles]]) — zero rewrite, the Iceberg name-mapping idea
     * at manifest granularity. */
+  /** `chunks` is the file list's physical layout: (chunk file name →
+    * entries), the two-level Iceberg manifest-list idea. A commit
+    * re-references every chunk whose entries all survive and writes new
+    * chunk files only for added/disturbed entries — per-commit metadata
+    * WRITE is O(delta + affected chunks), not O(all files), which is
+    * what survives 10^6 micro-batches against a 10^5-file table. */
   case class Snapshot(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
       lineage: Map[String, Long], batchId: String = "",
-      renames: Map[String, String] = Map.empty) {
+      renames: Map[String, String] = Map.empty,
+      chunks: Seq[(String, Seq[FileEntry])] = Nil) {
     def dataFiles: Seq[FileEntry] = files.filter(_.kind == "data")
     def deleteFiles: Seq[FileEntry] = files.filter(_.kind == "delete")
   }
@@ -432,7 +444,8 @@ class LakeTable(val root: String, spark: SparkSession,
       val mergedOffsets = head.map(_.offsets).getOrElse(Map.empty) ++ offsets
       try {
         writeManifest(version, curSchema, curRetain ++ added, mergedOffsets, applied,
-          lineage, batchId, head.map(_.renames).getOrElse(Map.empty))
+          lineage, batchId, head.map(_.renames).getOrElse(Map.empty),
+          prevChunks = head.map(_.chunks).getOrElse(Nil))
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -699,6 +712,20 @@ class LakeTable(val root: String, spark: SparkSession,
       if (Try(Files.deleteIfExists(metaDir.resolve(s"v$v.json"))).getOrElse(false))
         metaDeleted += 1
     }
+    // sweep manifest CHUNKS referenced by no kept snapshot (expired
+    // versions' rewritten chunks + orphans from lost commit races)
+    val keptChunks: Set[String] = vs.filter(_ >= keepFrom)
+      .flatMap(v => snapshot(v).chunks.map(_._1)).toSet
+    val ml = Files.list(metaDir)
+    val chunkFiles = try ml.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("c-") && n.endsWith(".json")).toSeq
+      finally ml.close()
+    chunkFiles.filterNot(keptChunks.contains).foreach { n =>
+      if (Try(Files.deleteIfExists(metaDir.resolve(n))).getOrElse(false)) {
+        chunkCache.remove(n)
+        ()
+      }
+    }
     (metaDeleted, dataDeleted)
   }
 
@@ -732,7 +759,7 @@ class LakeTable(val root: String, spark: SparkSession,
         writeManifest(version, newSchema, snap.files, snap.offsets, snap.applied,
           Map("rename" -> 1L, "rowsAfter" ->
             snap.lineage.getOrElse("rowsAfter", snap.dataFiles.map(_.rows).sum)),
-          s"rename-$oldName-$newName", renames)
+          s"rename-$oldName-$newName", renames, prevChunks = snap.chunks)
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -752,26 +779,80 @@ class LakeTable(val root: String, spark: SparkSession,
 
   // ---- manifest io (driver-side small metadata, like Iceberg's) --------
 
+  private def entryMap(f: FileEntry): JLinkedHashMap[String, Object] = {
+    val e = new JLinkedHashMap[String, Object]()
+    e.put("path", f.path); e.put("rows", java.lang.Long.valueOf(f.rows))
+    e.put("minRepo", f.minRepo); e.put("maxRepo", f.maxRepo)
+    e.put("minKey", f.minKey); e.put("maxKey", f.maxKey)
+    e.put("minSeq", java.lang.Long.valueOf(f.minSeq))
+    e.put("maxSeq", java.lang.Long.valueOf(f.maxSeq))
+    e.put("kind", f.kind)
+    e
+  }
+
+  private def entryFromMap(e: JMap[String, Object]): FileEntry =
+    FileEntry(e.get("path").asInstanceOf[String],
+      e.get("rows").asInstanceOf[Number].longValue(),
+      e.get("minRepo").asInstanceOf[String], e.get("maxRepo").asInstanceOf[String],
+      e.get("minKey").asInstanceOf[String], e.get("maxKey").asInstanceOf[String],
+      Option(e.get("minSeq")).map(_.asInstanceOf[Number].longValue())
+        .getOrElse(Long.MinValue),
+      Option(e.get("maxSeq")).map(_.asInstanceOf[Number].longValue())
+        .getOrElse(Long.MaxValue),
+      Option(e.get("kind")).map(_.asInstanceOf[String]).getOrElse("data"))
+
+  /** Write one immutable manifest chunk (fsynced; a chunk orphaned by a
+    * lost commit race is invisible and swept by [[expireSnapshots]]). */
+  private def writeChunk(name: String, entries: Seq[FileEntry]): Unit = {
+    val fl: JList[Object] = new JArrayList[Object]()
+    entries.foreach(f => fl.add(entryMap(f)))
+    val p = metaDir.resolve(name)
+    Files.writeString(p, mapper.writeValueAsString(fl))
+    val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    chunkCache.put(name, entries)
+    ()
+  }
+
+  private def readChunk(name: String): Seq[FileEntry] =
+    chunkCache.getOrElseUpdate(name, {
+      mapper.readValue(Files.readString(metaDir.resolve(name)),
+        classOf[JList[JMap[String, Object]]]).asScala.map(entryFromMap).toSeq
+    })
+
+  /** Write manifest `version`. The file list is stored as CHUNK files:
+    * every chunk of `prevChunks` whose entries all survive IDENTICALLY in
+    * `files` is re-referenced by name (zero bytes rewritten); only
+    * added/disturbed entries land in fresh chunks of ≤ [[chunkSize]].
+    * Steady-state commit metadata write: O(batch delta + chunks whose
+    * files a merge touched) — range-clustered writes keep touched files
+    * contiguous, so disturbed chunks are few. (Without this, every
+    * micro-batch rewrites the entire file list: ~20 MB of JSON per
+    * commit against a 10^5-file table — the Iceberg manifest-list
+    * design exists for exactly this.) */
   private[lake] def writeManifest(version: Long, schema: StructType, files: Seq[FileEntry],
       offsets: Map[String, Long], applied: Map[String, String],
       lineage: Map[String, Long], batchId: String,
-      renames: Map[String, String] = Map.empty): Unit = {
+      renames: Map[String, String] = Map.empty,
+      prevChunks: Seq[(String, Seq[FileEntry])] = Nil): Unit = {
+    val byPath: Map[String, FileEntry] = files.map(f => f.path -> f).toMap
+    val reused = prevChunks.filter { case (_, es) =>
+      es.nonEmpty && es.forall(e => byPath.get(e.path).contains(e)) }
+    val covered: Set[String] = reused.flatMap(_._2.map(_.path)).toSet
+    val fresh = files.filterNot(f => covered.contains(f.path))
+    val newChunks: Seq[(String, Seq[FileEntry])] =
+      fresh.grouped(math.max(1, chunkSize)).zipWithIndex.map { case (es, i) =>
+        (s"c-$version-$i-${java.util.UUID.randomUUID().toString.take(8)}.json",
+          es.toSeq)
+      }.toSeq
+    newChunks.foreach { case (name, es) => writeChunk(name, es) }
     val m = new JLinkedHashMap[String, Object]()
     m.put("version", java.lang.Long.valueOf(version))
     m.put("batchId", batchId)
     m.put("schema", schema.json)
-    val fl: JList[Object] = new JArrayList[Object]()
-    files.foreach { f =>
-      val e = new JLinkedHashMap[String, Object]()
-      e.put("path", f.path); e.put("rows", java.lang.Long.valueOf(f.rows))
-      e.put("minRepo", f.minRepo); e.put("maxRepo", f.maxRepo)
-      e.put("minKey", f.minKey); e.put("maxKey", f.maxKey)
-      e.put("minSeq", java.lang.Long.valueOf(f.minSeq))
-      e.put("maxSeq", java.lang.Long.valueOf(f.maxSeq))
-      e.put("kind", f.kind)
-      fl.add(e)
-    }
-    m.put("files", fl)
+    val cl: JList[Object] = new JArrayList[Object]()
+    (reused ++ newChunks).foreach { case (name, _) => cl.add(name) }
+    m.put("chunks", cl)
     m.put("offsets", offsets.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     m.put("applied", applied.asJava)
     m.put("lineage", lineage.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
@@ -808,17 +889,15 @@ class LakeTable(val root: String, spark: SparkSession,
   private def readManifest(p: Path, version: Long): Snapshot = {
     val m = mapper.readValue(Files.readString(p), classOf[JMap[String, Object]])
     val schema = DataType.fromJson(m.get("schema").asInstanceOf[String]).asInstanceOf[StructType]
-    val files = m.get("files").asInstanceOf[JList[JMap[String, Object]]].asScala.map { e =>
-      FileEntry(e.get("path").asInstanceOf[String],
-        e.get("rows").asInstanceOf[Number].longValue(),
-        e.get("minRepo").asInstanceOf[String], e.get("maxRepo").asInstanceOf[String],
-        e.get("minKey").asInstanceOf[String], e.get("maxKey").asInstanceOf[String],
-        Option(e.get("minSeq")).map(_.asInstanceOf[Number].longValue())
-          .getOrElse(Long.MinValue),
-        Option(e.get("maxSeq")).map(_.asInstanceOf[Number].longValue())
-          .getOrElse(Long.MaxValue),
-        Option(e.get("kind")).map(_.asInstanceOf[String]).getOrElse("data"))
-    }.toSeq
+    // chunked layout (current) or inline "files" (pre-chunking manifests
+    // stay readable; their next commit re-chunks the list once)
+    val chunks: Seq[(String, Seq[FileEntry])] = Option(m.get("chunks"))
+      .map(_.asInstanceOf[JList[String]].asScala.toSeq.map(n => n -> readChunk(n)))
+      .getOrElse(Nil)
+    val files: Seq[FileEntry] =
+      if (chunks.nonEmpty || m.get("files") == null) chunks.flatMap(_._2)
+      else m.get("files").asInstanceOf[JList[JMap[String, Object]]]
+        .asScala.map(entryFromMap).toSeq
     val offsets = m.get("offsets").asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap
     // Jackson parses objects into LinkedHashMap: insertion order survives
@@ -832,7 +911,8 @@ class LakeTable(val root: String, spark: SparkSession,
     val renames = Option(m.get("renames"))
       .map(_.asInstanceOf[JMap[String, String]].asScala.toMap)
       .getOrElse(Map.empty[String, String])
-    Snapshot(version, schema, files, offsets, applied, lineage, batchId, renames)
+    Snapshot(version, schema, files, offsets, applied, lineage, batchId, renames,
+      chunks)
   }
 
   /** Lineage / metrics side-table (≙ the reference's PROFILER→ES roll-up,

@@ -425,4 +425,49 @@ class LakeMetaSpec extends AnyFunSuite {
         .readBloomFilter(pathCol) != null, "expected a bloom filter on path")
     } finally reader.close()
   }
+
+  test("chunked manifests: unchanged chunks re-referenced by name, disturbed ones rewritten, expiry sweeps") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakechunk"), spark, chunkSize = 4)
+    def entry(i: Int) =
+      lake.FileEntry(f"data/f$i%02d", 1L, f"r$i%03d", f"r$i%03d", "k", "k", i.toLong, i.toLong)
+    val fsA = (0 until 8).map(entry)
+    lake.commit("ck-a", Map("p" -> 1L), schema, Nil, fsA)
+    val chA = lake.currentSnapshot.get.chunks
+    assert(chA.size == 2 && chA.map(_._2.size) == Seq(4, 4))
+    // append retaining everything: both A-chunks are re-referenced BY
+    // NAME (zero metadata rewritten for them), one fresh chunk appears
+    val fsB = (8 until 10).map(entry)
+    lake.commit("ck-b", Map("p" -> 2L), schema, lake.currentSnapshot.get.files, fsB)
+    val chB = lake.currentSnapshot.get.chunks
+    assert(chB.size == 3)
+    assert(chA.map(_._1).forall(n => chB.map(_._1).contains(n)))
+    assert(lake.currentSnapshot.get.files.toSet == (fsA ++ fsB).toSet)
+    // dropping ONE file rewrites only its own chunk; the other two
+    // chunk files survive untouched
+    val retain = lake.currentSnapshot.get.files.filterNot(_.path == "data/f00")
+    lake.commit("ck-c", Map("p" -> 3L), schema, retain, Nil)
+    val chC = lake.currentSnapshot.get.chunks
+    val namesC = chC.map(_._1)
+    assert(!namesC.contains(chA.head._1), "disturbed chunk must be replaced")
+    assert(namesC.contains(chA(1)._1) && namesC.contains(chB.last._1),
+      "undisturbed chunks must keep their files")
+    assert(lake.currentSnapshot.get.files.size == 9)
+    // expiry sweeps chunk files referenced only by expired versions...
+    lake.expireSnapshots(keepLast = 1)
+    val left = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(lake.root, "meta"))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("c-") && n.endsWith(".json")).toSet
+      } finally ls.close()
+    }
+    assert(left == namesC.toSet)
+    // ...and a FRESH instance (cold chunk cache) still reads the table
+    val lake2 = new LakeTable(lake.root, spark)
+    assert(lake2.currentSnapshot.get.files.size == 9)
+    assert(lake2.currentSnapshot.get.files.toSet ==
+      (fsA.drop(1) ++ fsB).map(f => lake2.FileEntry(f.path, f.rows, f.minRepo,
+        f.maxRepo, f.minKey, f.maxKey, f.minSeq, f.maxSeq, f.kind)).toSet)
+  }
 }

@@ -1,0 +1,45 @@
+// Metadata write-amplification probe (spark-shell -I): N sequential
+// 1-file append commits against a table that already holds F files.
+// Measures actual bytes written under meta/ with chunked manifests and
+// compares to the inline-list baseline (sum over commits of the full
+// serialized file list — what the pre-chunking format wrote each time).
+import org.apache.spark.sql.functions._
+val root = java.nio.file.Files.createTempDirectory("chunkab").toString
+val lake = new graft.lake.LakeTable(root, spark, chunkSize = 512)
+val schema = graft.core.Model.lakeSchemaV1
+def entry(i: Int) = lake.FileEntry(f"data/f$i%05d", 1L, f"r$i%05d", f"r$i%05d", "k", "k", i.toLong, i.toLong)
+// seed: 5000 live files (a realistic compacted 100-TB-scale manifest)
+lake.commit("seed", Map("p" -> 0L), schema, Nil, (0 until 5000).map(entry))
+def metaBytes: Long = {
+  val ls = java.nio.file.Files.list(java.nio.file.Paths.get(root, "meta"))
+  try { import scala.jdk.CollectionConverters._
+    ls.iterator().asScala.map(p => java.nio.file.Files.size(p)).sum } finally ls.close()
+}
+val before = metaBytes
+// exact inline baseline: serialize each commit's FULL file list the way
+// the pre-chunking manifest format did
+val om = new com.fasterxml.jackson.databind.ObjectMapper()
+def inlineBytes(files: Seq[lake.FileEntry]): Long = {
+  val fl = new java.util.ArrayList[Object]()
+  files.foreach { f =>
+    val e = new java.util.LinkedHashMap[String, Object]()
+    e.put("path", f.path); e.put("rows", java.lang.Long.valueOf(f.rows))
+    e.put("minRepo", f.minRepo); e.put("maxRepo", f.maxRepo)
+    e.put("minKey", f.minKey); e.put("maxKey", f.maxKey)
+    e.put("minSeq", java.lang.Long.valueOf(f.minSeq))
+    e.put("maxSeq", java.lang.Long.valueOf(f.maxSeq))
+    e.put("kind", f.kind); fl.add(e)
+  }
+  om.writeValueAsString(fl).getBytes("UTF-8").length.toLong
+}
+val n = 200
+var inlineTotal = 0L
+(0 until n).foreach { b =>
+  val snap = lake.currentSnapshot.get
+  lake.commit(s"b$b", Map("p" -> (b + 1).toLong), schema, snap.files,
+    Seq(entry(5000 + b)), baseVersion = Some(snap.version))
+  inlineTotal += inlineBytes(lake.currentSnapshot.get.files)
+}
+val written = metaBytes - before
+println(f"PROBE chunked_bytes_written=$written%d inline_exact=$inlineTotal%d ratio=${inlineTotal.toDouble / written}%.1f")
+System.exit(0)
