@@ -65,6 +65,10 @@ class LakeTable(val root: String, spark: SparkSession,
   private val chunkCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[FileEntry]]
 
+  /** Chunk files this instance has parsed (test observability for the
+    * lookup path's chunk-level pruning). */
+  private[lake] def parsedChunks: Set[String] = chunkCache.keySet.toSet
+
   /** One immutable file in a snapshot. `kind` is `"data"` (table rows)
     * or `"delete"` (merge-on-read equality-delete entries: one
     * `(repo, path, seq, commit)` row per superseded key, carrying the
@@ -82,19 +86,40 @@ class LakeTable(val root: String, spark: SparkSession,
     * schema with the old names and coalesce them into the current one
     * ([[readDataFiles]]) — zero rewrite, the Iceberg name-mapping idea
     * at manifest granularity. */
-  /** `chunks` is the file list's physical layout: (chunk file name →
-    * entries), the two-level Iceberg manifest-list idea. A commit
-    * re-references every chunk whose entries all survive and writes new
-    * chunk files only for added/disturbed entries — per-commit metadata
-    * WRITE is O(delta + affected chunks), not O(all files), which is
-    * what survives 10^6 micro-batches against a 10^5-file table. */
-  case class Snapshot(version: Long, schema: StructType, files: Seq[FileEntry],
+  /** Reference to one immutable manifest chunk file plus aggregate stats
+    * over its entries, recorded in the MANIFEST — so a reader can decide
+    * whether a chunk is relevant without opening it. `kind` is `"data"`,
+    * `"delete"`, or `"mixed"` (chunks adopted from a pre-segregation
+    * layout). */
+  case class ChunkRef(name: String, n: Int, kind: String,
+      minRepo: String, maxRepo: String, minSeq: Long, maxSeq: Long)
+
+  /** `chunkRefs` is the file list's physical layout, the two-level
+    * Iceberg manifest-list idea. A commit re-references every chunk
+    * whose entries all survive and writes new chunk files only for
+    * added/disturbed entries — per-commit metadata WRITE is O(delta +
+    * affected chunks), not O(all files), which is what survives 10^6
+    * micro-batches against a 10^5-file table. `files` materializes
+    * lazily, so paths that need only commit metadata (fence checks,
+    * lineage) or only a range slice ([[lookupKeys]]) never parse the
+    * whole list. `inlineFiles` carries a pre-chunking manifest's inline
+    * list (still readable; its next commit chunks it once). */
+  case class Snapshot(version: Long, schema: StructType,
       offsets: Map[String, Long], applied: Map[String, String],
       lineage: Map[String, Long], batchId: String = "",
       renames: Map[String, String] = Map.empty,
-      chunks: Seq[(String, Seq[FileEntry])] = Nil) {
+      chunkRefs: Seq[ChunkRef] = Nil,
+      inlineFiles: Option[Seq[FileEntry]] = None) {
+    lazy val files: Seq[FileEntry] =
+      inlineFiles.getOrElse(chunkRefs.flatMap(c => readChunk(c.name)))
     def dataFiles: Seq[FileEntry] = files.filter(_.kind == "data")
-    def deleteFiles: Seq[FileEntry] = files.filter(_.kind == "delete")
+    /** Delete entries only — reads delete/mixed chunks, never pure-data
+      * ones (delete chunks are few after [[consolidateDeletes]]), so
+      * read-side delete resolution costs O(delete metadata). */
+    lazy val deleteFiles: Seq[FileEntry] =
+      inlineFiles.map(_.filter(_.kind == "delete")).getOrElse(
+        chunkRefs.filterNot(_.kind == "data")
+          .flatMap(c => readChunk(c.name)).filter(_.kind == "delete"))
   }
 
   private val mapper = new ObjectMapper()
@@ -445,7 +470,7 @@ class LakeTable(val root: String, spark: SparkSession,
       try {
         writeManifest(version, curSchema, curRetain ++ added, mergedOffsets, applied,
           lineage, batchId, head.map(_.renames).getOrElse(Map.empty),
-          prevChunks = head.map(_.chunks).getOrElse(Nil))
+          prevChunks = head.map(_.chunkRefs).getOrElse(Nil))
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -624,16 +649,42 @@ class LakeTable(val root: String, spark: SparkSession,
     snapOpt match {
       case Some(s) =>
         val bulk = keys.size > bulkThreshold
-        val dataF = s.dataFiles
+        val repos = keys.map(_._1).distinct
+        // two-stage manifest prune: chunk stats (in the manifest itself)
+        // decide which chunk FILES to parse at all, then per-file stats
+        // decide which data files to scan — a cold point lookup reads
+        // O(overlapping chunks) of metadata, not the whole file list
+        val dataF: Seq[FileEntry] =
+          if (s.chunkRefs.isEmpty) s.dataFiles
+          else {
+            val cand = s.chunkRefs.filterNot(_.kind == "delete")
+            val hitChunks =
+              if (keys.isEmpty) Nil
+              else if (!bulk)
+                cand.filter(c => repos.exists(r => r >= c.minRepo && r <= c.maxRepo))
+              else {
+                val ix = RepoIntervalIndex(cand.map(c => (c.minRepo, c.maxRepo)))
+                val hit = new java.util.BitSet(ix.size)
+                repos.foreach(r => ix.collectTouched(r, hit))
+                cand.zipWithIndex.collect { case (c, i) if hit.get(i) => c }
+              }
+            hitChunks.flatMap(c => readChunk(c.name)).filter(_.kind == "data")
+          }
+        val totalData: Int =
+          if (s.chunkRefs.isEmpty) s.dataFiles.size
+          else s.chunkRefs.iterator.map {
+            case c if c.kind == "data" => c.n
+            case c if c.kind == "delete" => 0
+            case c => readChunk(c.name).count(_.kind == "data")
+          }.sum
         val live =
           if (keys.isEmpty) Nil
-          else if (!bulk) {
-            val repos = keys.map(_._1)
+          else if (!bulk)
             dataF.filter(f => repos.exists(r => r >= f.minRepo && r <= f.maxRepo))
-          } else {
+          else {
             val ix = RepoIntervalIndex(dataF.map(f => (f.minRepo, f.maxRepo)))
             val hit = new java.util.BitSet(ix.size)
-            keys.iterator.map(_._1).distinct.foreach(r => ix.collectTouched(r, hit))
+            repos.foreach(r => ix.collectTouched(r, hit))
             dataF.zipWithIndex.collect { case (f, i) if hit.get(i) => f }
           }
         val df =
@@ -653,7 +704,7 @@ class LakeTable(val root: String, spark: SparkSession,
               }
             resolveDeletes(filtered, s, scanned = Some(live))
           }
-        (df, live.size, dataF.size)
+        (df, live.size, totalData)
       case None =>
         (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Model.lakeSchemaV1), 0, 0)
@@ -715,7 +766,7 @@ class LakeTable(val root: String, spark: SparkSession,
     // sweep manifest CHUNKS referenced by no kept snapshot (expired
     // versions' rewritten chunks + orphans from lost commit races)
     val keptChunks: Set[String] = vs.filter(_ >= keepFrom)
-      .flatMap(v => snapshot(v).chunks.map(_._1)).toSet
+      .flatMap(v => snapshot(v).chunkRefs.map(_.name)).toSet
     val ml = Files.list(metaDir)
     val chunkFiles = try ml.iterator().asScala.map(_.getFileName.toString)
       .filter(n => n.startsWith("c-") && n.endsWith(".json")).toSeq
@@ -759,7 +810,7 @@ class LakeTable(val root: String, spark: SparkSession,
         writeManifest(version, newSchema, snap.files, snap.offsets, snap.applied,
           Map("rename" -> 1L, "rowsAfter" ->
             snap.lineage.getOrElse("rowsAfter", snap.dataFiles.map(_.rows).sum)),
-          s"rename-$oldName-$newName", renames, prevChunks = snap.chunks)
+          s"rename-$oldName-$newName", renames, prevChunks = snap.chunkRefs)
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -820,6 +871,16 @@ class LakeTable(val root: String, spark: SparkSession,
         classOf[JList[JMap[String, Object]]]).asScala.map(entryFromMap).toSeq
     })
 
+  private def chunkRefOf(name: String, es: Seq[FileEntry]): ChunkRef = {
+    val kind =
+      if (es.forall(_.kind == "data")) "data"
+      else if (es.forall(_.kind == "delete")) "delete"
+      else "mixed"
+    ChunkRef(name, es.size, kind,
+      es.map(_.minRepo).min, es.map(_.maxRepo).max,
+      es.map(_.minSeq).min, es.map(_.maxSeq).max)
+  }
+
   /** Write manifest `version`. The file list is stored as CHUNK files:
     * every chunk of `prevChunks` whose entries all survive IDENTICALLY in
     * `files` is re-referenced by name (zero bytes rewritten); only
@@ -834,24 +895,50 @@ class LakeTable(val root: String, spark: SparkSession,
       offsets: Map[String, Long], applied: Map[String, String],
       lineage: Map[String, Long], batchId: String,
       renames: Map[String, String] = Map.empty,
-      prevChunks: Seq[(String, Seq[FileEntry])] = Nil): Unit = {
+      prevChunks: Seq[ChunkRef] = Nil): Unit = {
     val byPath: Map[String, FileEntry] = files.map(f => f.path -> f).toMap
-    val reused = prevChunks.filter { case (_, es) =>
+    val survivors = prevChunks.filter { c =>
+      val es = readChunk(c.name)
       es.nonEmpty && es.forall(e => byPath.get(e.path).contains(e)) }
-    val covered: Set[String] = reused.flatMap(_._2.map(_.path)).toSet
-    val fresh = files.filterNot(f => covered.contains(f.path))
-    val newChunks: Seq[(String, Seq[FileEntry])] =
-      fresh.grouped(math.max(1, chunkSize)).zipWithIndex.map { case (es, i) =>
-        (s"c-$version-$i-${java.util.UUID.randomUUID().toString.take(8)}.json",
-          es.toSeq)
+    // amortized chunk coalescing: once undersized surviving chunks
+    // accumulate (each tiny commit leaves one), fold them back into the
+    // fresh set so they re-chunk together — bounds the chunk count at
+    // O(files/chunkSize) across any number of 1-file commits, with each
+    // entry rewritten only while its chunk is still below half target
+    val undersized = survivors.filter(_.n < chunkSize / 2)
+    val fold: Set[String] =
+      if (undersized.size > 7) undersized.map(_.name).toSet
+      else Set.empty
+    val reused = survivors.filterNot(c => fold.contains(c.name))
+    val covered: Set[String] =
+      reused.flatMap(c => readChunk(c.name).map(_.path)).toSet
+    // fresh entries are segregated by kind so every new chunk is pure
+    // data or pure deletes: reads resolving deletes open only
+    // delete-kind chunks, point lookups only data-kind ones
+    val (freshData, freshDel) =
+      files.filterNot(f => covered.contains(f.path)).partition(_.kind == "data")
+    val newChunks: Seq[ChunkRef] =
+      (freshData.grouped(math.max(1, chunkSize)) ++
+        freshDel.grouped(math.max(1, chunkSize))).zipWithIndex.map {
+        case (es, i) =>
+          val name = s"c-$version-$i-${java.util.UUID.randomUUID().toString.take(8)}.json"
+          writeChunk(name, es)
+          chunkRefOf(name, es)
       }.toSeq
-    newChunks.foreach { case (name, es) => writeChunk(name, es) }
     val m = new JLinkedHashMap[String, Object]()
     m.put("version", java.lang.Long.valueOf(version))
     m.put("batchId", batchId)
     m.put("schema", schema.json)
     val cl: JList[Object] = new JArrayList[Object]()
-    (reused ++ newChunks).foreach { case (name, _) => cl.add(name) }
+    (reused ++ newChunks).foreach { c =>
+      val e = new JLinkedHashMap[String, Object]()
+      e.put("name", c.name); e.put("n", Integer.valueOf(c.n))
+      e.put("kind", c.kind)
+      e.put("minRepo", c.minRepo); e.put("maxRepo", c.maxRepo)
+      e.put("minSeq", java.lang.Long.valueOf(c.minSeq))
+      e.put("maxSeq", java.lang.Long.valueOf(c.maxSeq))
+      cl.add(e)
+    }
     m.put("chunks", cl)
     m.put("offsets", offsets.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     m.put("applied", applied.asJava)
@@ -889,15 +976,28 @@ class LakeTable(val root: String, spark: SparkSession,
   private def readManifest(p: Path, version: Long): Snapshot = {
     val m = mapper.readValue(Files.readString(p), classOf[JMap[String, Object]])
     val schema = DataType.fromJson(m.get("schema").asInstanceOf[String]).asInstanceOf[StructType]
-    // chunked layout (current) or inline "files" (pre-chunking manifests
-    // stay readable; their next commit re-chunks the list once)
-    val chunks: Seq[(String, Seq[FileEntry])] = Option(m.get("chunks"))
-      .map(_.asInstanceOf[JList[String]].asScala.toSeq.map(n => n -> readChunk(n)))
+    // chunked layout (current: stat-carrying objects; transitional:
+    // bare names, stats recovered by reading the chunk once) or inline
+    // "files" (pre-chunking manifests stay readable; their next commit
+    // re-chunks the list once)
+    val chunkRefs: Seq[ChunkRef] = Option(m.get("chunks"))
+      .map(_.asInstanceOf[JList[Object]].asScala.toSeq.map {
+        case n: String => chunkRefOf(n, readChunk(n))
+        case o =>
+          val e = o.asInstanceOf[JMap[String, Object]]
+          ChunkRef(e.get("name").asInstanceOf[String],
+            e.get("n").asInstanceOf[Number].intValue(),
+            e.get("kind").asInstanceOf[String],
+            e.get("minRepo").asInstanceOf[String],
+            e.get("maxRepo").asInstanceOf[String],
+            e.get("minSeq").asInstanceOf[Number].longValue(),
+            e.get("maxSeq").asInstanceOf[Number].longValue())
+      })
       .getOrElse(Nil)
-    val files: Seq[FileEntry] =
-      if (chunks.nonEmpty || m.get("files") == null) chunks.flatMap(_._2)
-      else m.get("files").asInstanceOf[JList[JMap[String, Object]]]
-        .asScala.map(entryFromMap).toSeq
+    val inline: Option[Seq[FileEntry]] =
+      if (chunkRefs.nonEmpty || m.get("files") == null) None
+      else Some(m.get("files").asInstanceOf[JList[JMap[String, Object]]]
+        .asScala.map(entryFromMap).toSeq)
     val offsets = m.get("offsets").asInstanceOf[JMap[String, Object]].asScala
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }.toMap
     // Jackson parses objects into LinkedHashMap: insertion order survives
@@ -911,8 +1011,8 @@ class LakeTable(val root: String, spark: SparkSession,
     val renames = Option(m.get("renames"))
       .map(_.asInstanceOf[JMap[String, String]].asScala.toMap)
       .getOrElse(Map.empty[String, String])
-    Snapshot(version, schema, files, offsets, applied, lineage, batchId, renames,
-      chunks)
+    Snapshot(version, schema, offsets, applied, lineage, batchId, renames,
+      chunkRefs, inline)
   }
 
   /** Lineage / metrics side-table (≙ the reference's PROFILER→ES roll-up,

@@ -432,24 +432,24 @@ class LakeMetaSpec extends AnyFunSuite {
       lake.FileEntry(f"data/f$i%02d", 1L, f"r$i%03d", f"r$i%03d", "k", "k", i.toLong, i.toLong)
     val fsA = (0 until 8).map(entry)
     lake.commit("ck-a", Map("p" -> 1L), schema, Nil, fsA)
-    val chA = lake.currentSnapshot.get.chunks
-    assert(chA.size == 2 && chA.map(_._2.size) == Seq(4, 4))
+    val chA = lake.currentSnapshot.get.chunkRefs
+    assert(chA.size == 2 && chA.map(_.n) == Seq(4, 4))
     // append retaining everything: both A-chunks are re-referenced BY
     // NAME (zero metadata rewritten for them), one fresh chunk appears
     val fsB = (8 until 10).map(entry)
     lake.commit("ck-b", Map("p" -> 2L), schema, lake.currentSnapshot.get.files, fsB)
-    val chB = lake.currentSnapshot.get.chunks
+    val chB = lake.currentSnapshot.get.chunkRefs
     assert(chB.size == 3)
-    assert(chA.map(_._1).forall(n => chB.map(_._1).contains(n)))
+    assert(chA.map(_.name).forall(n => chB.map(_.name).contains(n)))
     assert(lake.currentSnapshot.get.files.toSet == (fsA ++ fsB).toSet)
     // dropping ONE file rewrites only its own chunk; the other two
     // chunk files survive untouched
     val retain = lake.currentSnapshot.get.files.filterNot(_.path == "data/f00")
     lake.commit("ck-c", Map("p" -> 3L), schema, retain, Nil)
-    val chC = lake.currentSnapshot.get.chunks
-    val namesC = chC.map(_._1)
-    assert(!namesC.contains(chA.head._1), "disturbed chunk must be replaced")
-    assert(namesC.contains(chA(1)._1) && namesC.contains(chB.last._1),
+    val chC = lake.currentSnapshot.get.chunkRefs
+    val namesC = chC.map(_.name)
+    assert(!namesC.contains(chA.head.name), "disturbed chunk must be replaced")
+    assert(namesC.contains(chA(1).name) && namesC.contains(chB.last.name),
       "undisturbed chunks must keep their files")
     assert(lake.currentSnapshot.get.files.size == 9)
     // expiry sweeps chunk files referenced only by expired versions...
@@ -469,5 +469,46 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(lake2.currentSnapshot.get.files.toSet ==
       (fsA.drop(1) ++ fsB).map(f => lake2.FileEntry(f.path, f.rows, f.minRepo,
         f.maxRepo, f.minKey, f.maxKey, f.minSeq, f.maxSeq, f.kind)).toSet)
+  }
+
+  test("amortized coalescing bounds chunk count across many tiny commits") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakecoal"), spark, chunkSize = 16)
+    def entry(i: Int) =
+      lake.FileEntry(f"data/g$i%03d", 1L, f"r$i%03d", f"r$i%03d", "k", "k", i.toLong, i.toLong)
+    lake.commit("co-0", Map("p" -> 0L), schema, Nil, Seq(entry(0)))
+    (1 until 64).foreach { i =>
+      val snap = lake.currentSnapshot.get
+      lake.commit(s"co-$i", Map("p" -> i.toLong), schema, snap.files, Seq(entry(i)))
+    }
+    val snap = lake.currentSnapshot.get
+    assert(snap.files.size == 64)
+    // without folding this would be 64 one-entry chunks; the bound is
+    // O(files / (chunkSize/2)) folded chunks + up to 8 pending smalls
+    assert(snap.chunkRefs.size <= 64 / (16 / 2) + 8,
+      s"chunk count must stay bounded, got ${snap.chunkRefs.size}")
+  }
+
+  test("cold point lookup parses only chunk files overlapping the probe key") {
+    val root = TestSpark.tmpDir("lakechunkprune")
+    val lake = new LakeTable(root, spark, chunkSize = 2)
+    val applier = new CdcApplier(lake, spark, clusterPartitions = 8)
+    val ev = ChangeLogGen.events(spark, 3000, 22L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    applier.applyBatch(ev, "cp-0")
+    val snap = lake.currentSnapshot.get
+    val nChunks = snap.chunkRefs.size
+    assert(nChunks >= 3, s"need several chunks, got $nChunks")
+    val probe = lake.read().select($"repo", $"path").head()
+    // a FRESH instance: the manifest's chunk stats alone must bound which
+    // chunk files get parsed for a point probe
+    val cold = new LakeTable(root, spark, chunkSize = 2)
+    assert(cold.parsedChunks.isEmpty, "constructor must read no chunks")
+    val (rows, scanned, total) =
+      cold.lookupKeys(Seq((probe.getString(0), probe.getString(1))))
+    assert(rows.count() == 1)
+    assert(scanned < total, "file-level pruning must hold through the chunked path")
+    assert(cold.parsedChunks.size < nChunks,
+      s"cold lookup parsed ${cold.parsedChunks.size} of $nChunks chunk files")
   }
 }
