@@ -624,6 +624,95 @@ class LakeTable(val root: String, spark: SparkSession,
     }
   }
 
+  /** State of snapshot `s` restricted to the keys of `keys` (columns
+    * repo, path): the file list is pruned to candidate repos through the
+    * broadcast interval index (no repo set reaches the driver, only file
+    * indices), then read, delete-resolved, and semi-joined to the keys. */
+  private def stateRestricted(s: Snapshot, keys: DataFrame): DataFrame = {
+    val (touched, _) = pruneFilesDistributed(s, keys.select(col("repo")))
+    val data = touched.filter(_.kind == "data")
+    if (data.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    else
+      resolveDeletes(readDataFiles(data, s.schema, s.renames), s,
+        scanned = Some(data))
+        .join(keys.select(col("repo"), col("path")), Seq("repo", "path"), "left_semi")
+  }
+
+  /** Row-level change-data feed between two snapshots (the Delta CDF /
+    * Iceberg changelog idea): one row per key whose LIVE state differs
+    * between `fromVersion` and `toVersion`, classified
+    * insert / update / delete, with before- and after-images of the
+    * value columns as structs (null on the absent side).
+    *
+    * Scale shape: candidate keys come only from files DISTURBED between
+    * the snapshots — data files added or removed, delete files added —
+    * so the feed costs O(churn), not O(table). The two restricted state
+    * reads then prune each snapshot's file list to the candidates' repos
+    * ([[pruneFilesDistributed]]) and semi-join to the candidate keys.
+    * Pure maintenance between the snapshots (compaction, delete
+    * consolidation) only rewrites physical files: its keys enter the
+    * candidate set but fall out at the final same-version filter, so a
+    * maintenance-only interval emits an empty feed.
+    *
+    * Correctness leans on the maintenance invariant [[compact]] upholds:
+    * a delete file is only ever REMOVED by a compaction that
+    * simultaneously rewrites every data file overlapping its key range
+    * (so a row it suppressed can never silently come back to life in a
+    * shared file). */
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    val a = snapshot(fromVersion)
+    val b = snapshot(toVersion)
+    val aPaths = a.dataFiles.map(_.path).toSet
+    val bPaths = b.dataFiles.map(_.path).toSet
+    val removed = a.dataFiles.filterNot(f => bPaths.contains(f.path))
+    val added = b.dataFiles.filterNot(f => aPaths.contains(f.path))
+    val aDel = a.deleteFiles.map(_.path).toSet
+    val addedDel = b.deleteFiles.filterNot(f => aDel.contains(f.path))
+    val valF = b.schema.fields.filterNot(f => f.name == "repo" || f.name == "path")
+    def img(df: DataFrame, as: String) = df.select(col("repo"), col("path"),
+      struct(valF.toSeq.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name)
+      }: _*).as(as))
+    val outSchema = img(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema), "before")
+      .withColumn("change_type", lit(""))
+      .withColumn("after", col("before"))
+      .select(col("repo"), col("path"), col("change_type"), col("before"), col("after"))
+      .schema
+    val keyC = Seq(col("repo"), col("path"))
+    val candParts: Seq[DataFrame] =
+      (if (added.nonEmpty)
+        Seq(resolveDeletes(readDataFiles(added, b.schema, b.renames), b,
+          scanned = Some(added)).select(keyC: _*)) else Nil) ++
+        (if (removed.nonEmpty)
+          Seq(resolveDeletes(readDataFiles(removed, a.schema, a.renames), a,
+            scanned = Some(removed)).select(keyC: _*)) else Nil) ++
+        (if (addedDel.nonEmpty)
+          Seq(spark.read.schema(LakeTable.deleteSchema)
+            .parquet(addedDel.map(f => Paths.get(root, f.path).toString): _*)
+            .select(keyC: _*)) else Nil)
+    if (candParts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // used four times (two prunes, two semi-joins) — compute once;
+    // released by the session's OpCaches.unpersistAll between queries
+    val cand = graft.ops.OpCaches.track(
+      candParts.reduce(_ unionByName _).distinct())
+    val joined = img(stateRestricted(a, cand), "before")
+      .join(img(stateRestricted(b, cand), "after"), Seq("repo", "path"), "full_outer")
+    joined
+      .filter(col("before").isNull || col("after").isNull ||
+        col("before.seq") =!= col("after.seq") ||
+        col("before.commit") =!= col("after.commit"))
+      .select(col("repo"), col("path"),
+        when(col("before").isNull, "insert")
+          .when(col("after").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("before"), col("after"))
+  }
+
   /** Point lookups: read only the rows for the given (repo, path) keys.
     * Two pruning layers, both metadata-first:
     *  1. MANIFEST: a file is scanned only if some key's repo falls inside

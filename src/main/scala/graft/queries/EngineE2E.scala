@@ -296,9 +296,27 @@ object EngineE2E {
         sha2(col("content"), 256).as("content_sha"), col("seq"))
   }
 
+  /** q44 — row-level change-data feed between the copy-on-write replay's
+    * two snapshots ([[LakeTable.changeFeed]], the Delta CDF idea):
+    * candidate keys from disturbed files only, state at each version
+    * re-read restricted to those keys, full-outer diff classified
+    * insert / update / delete with before/after images. The oracle
+    * recomputes both LWW states from the raw events and diffs them —
+    * mode- and layout-blind. */
+  def q44ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (lake, _) = cowReplayedLake(spark, dir)
+    lake.changeFeed(0L, 1L)
+      .select(col("repo"), col("path"), col("change_type"),
+        col("before.seq").as("before_seq"),
+        sha2(col("before.content"), 256).as("before_sha"),
+        col("after.seq").as("after_seq"),
+        sha2(col("after.content"), 256).as("after_sha"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_sql_source_mor" -> q40SqlSourceMor _,
     "q41_sql_source_pruned" -> q41SqlSourcePruned _,
+    "q44_change_feed" -> q44ChangeFeed _,
     "q32_observed_rules" -> q32ObservedRules _,
     "q22_cdc_engine_replay" -> q22CdcReplay _,
     "q25_lineage_metrics" -> q25Lineage _,
@@ -339,6 +357,33 @@ object EngineE2E {
         | FROM events)
         |WHERE rn = 1 AND op <> 'DELETE'
         |  AND seq > (SELECT (2*max(event_id))//3 FROM events)""".stripMargin,
+    "q44_change_feed" ->
+      """WITH ch AS (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        CASE WHEN event_type = 'error' THEN 'DELETE'
+        |             WHEN event_type = 'signup' THEN 'INSERT'
+        |             ELSE 'UPDATE' END AS op
+        | FROM events),
+        |a AS (SELECT * FROM (
+        |   SELECT ch.*, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |   FROM ch WHERE seq <= (SELECT max(event_id)//2 FROM events))
+        |  WHERE rn = 1 AND op <> 'DELETE'),
+        |b AS (SELECT * FROM (
+        |   SELECT ch.*, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |   FROM ch)
+        |  WHERE rn = 1 AND op <> 'DELETE')
+        |SELECT coalesce(b.repo, a.repo) AS repo,
+        |       coalesce(b.path, a.path) AS path,
+        |       CASE WHEN a.seq IS NULL THEN 'insert'
+        |            WHEN b.seq IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |       a.seq AS before_seq, a.content_sha AS before_sha,
+        |       b.seq AS after_seq, b.content_sha AS after_sha
+        |FROM a FULL JOIN b ON a.repo = b.repo AND a.path = b.path
+        |WHERE a.seq IS NULL OR b.seq IS NULL OR a.seq <> b.seq""".stripMargin,
     "q32_observed_rules" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |e AS (SELECT event_id, user_id,

@@ -345,4 +345,86 @@ class EngineSpec extends AnyFunSuite {
     assert(lin("rowsAfter") > 0 && lin("upserts") > 0 && lin("deletes") > 0)
     assert(lin("rowsAfter") == lake.read().count())
   }
+
+  test("change feed ≡ brute-force state diff; CoW ≡ MoR; maintenance commits are silent") {
+    def build(mor: Boolean): LakeTable = {
+      val lake = new LakeTable(TestSpark.tmpDir(s"lakecdf$mor"), spark)
+      val app = new CdcApplier(lake, spark, mergeOnRead = mor)
+      val ev = ChangeLogGen.events(spark, 3000, 11L)
+        .filter(lower($"source") === "app.change.log")
+        .select($"op", $"part", $"repo", $"path", $"commit", $"lang", $"content", $"seq")
+      app.applyBatch(ev.filter($"seq" <= 1500), "cdf-0")
+      app.applyBatch(ev.filter($"seq" > 1500), "cdf-1")
+      lake
+    }
+    def feedSet(lake: LakeTable, a: Long, b: Long) =
+      lake.changeFeed(a, b)
+        .select($"repo", $"path", $"change_type", $"before.seq", $"after.seq")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val cow = build(mor = false)
+    val mor = build(mor = true)
+    def stateMap(lake: LakeTable, v: Long) =
+      lake.read(Some(v)).select($"repo", $"path", $"seq").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val s0 = stateMap(cow, 0L)
+    val s1 = stateMap(cow, 1L)
+    val brute: Set[(String, String, String, Long, Long)] =
+      (s0.keySet ++ s1.keySet).flatMap { k =>
+        (s0.get(k), s1.get(k)) match {
+          case (None, Some(af)) => Some((k._1, k._2, "insert", -1L, af))
+          case (Some(bf), None) => Some((k._1, k._2, "delete", bf, -1L))
+          case (Some(bf), Some(af)) if bf != af => Some((k._1, k._2, "update", bf, af))
+          case _ => None
+        }
+      }
+    val cowFeed = feedSet(cow, 0L, 1L)
+    assert(cowFeed == brute)
+    assert(Seq("insert", "update", "delete").forall(t => cowFeed.exists(_._3 == t)),
+      "fixture must exercise all three change types")
+    // merge-on-read expresses the same interval via shared base files +
+    // added winners + delete entries — the feed must not notice
+    assert(feedSet(mor, 0L, 1L) == brute)
+    // maintenance rewrites physical files without changing logical state:
+    // its keys enter the candidate set and must ALL fall out
+    mor.consolidateDeletes()
+    mor.compact(minRows = Long.MaxValue)
+    val vm = mor.currentVersion.get
+    assert(vm > 1L, "maintenance must have committed")
+    assert(feedSet(mor, 1L, vm).isEmpty, "maintenance-only interval must be silent")
+    assert(feedSet(mor, 0L, vm) == brute, "feed across maintenance must still see the real changes")
+  }
+
+  test("change feed scans only files overlapping the churn band, not the table") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakecdfprune"), spark)
+    val app = new CdcApplier(lake, spark, clusterPartitions = 8)
+    def rows(n: Int, tag: String, seqBase: Long, repoOf: Int => String) =
+      (0 until n).map { i =>
+        ("UPDATE", (i % 4).toString, repoOf(i), s"p${i % 50}",
+          s"c$tag$i", "scala", s"content-$tag-$i", seqBase + i)
+      }.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    app.applyBatch(rows(4000, "a", 0, i => f"cd-repo${(i * 131) % 400}%03d"), "cdp-0")
+    val v0 = lake.currentVersion.get
+    val v0Paths = lake.snapshot(v0).dataFiles.map(_.path).toSet
+    assert(v0Paths.size >= 6, s"need several base files, got ${v0Paths.size}")
+    // churn confined to a 5% repo band
+    app.applyBatch(rows(200, "b", 100000L, i => f"cd-repo${i % 20}%03d"), "cdp-1")
+    val feed = lake.changeFeed(v0, lake.currentVersion.get)
+    assert(feed.count() > 0)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanFiles(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scanFiles(a.executedPlan)
+      case q: QueryStageExec => scanFiles(q.plan)
+      case f: FileSourceScanExec => f.relation.location.inputFiles.toSeq
+      case other => (other.children ++ other.subqueries).flatMap(scanFiles)
+    }
+    val opened = scanFiles(feed.queryExecution.executedPlan)
+      .map(f => f.substring(f.indexOf("data/"))).toSet
+    val v0Opened = (opened & v0Paths).size
+    assert(v0Opened >= 1 && v0Opened < v0Paths.size,
+      s"before-state read must stay inside the band: opened $v0Opened of ${v0Paths.size}")
+  }
 }
