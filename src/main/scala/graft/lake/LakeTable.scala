@@ -604,12 +604,29 @@ class LakeTable(val root: String, spark: SparkSession,
     * so the scan cost tracks the churn since `afterSeq`, not table size —
     * the seq stats play the role of Iceberg's hidden time partitioning.
     * Returns (feed, filesScanned, filesTotal). */
+  /** Data-file count without materializing pure-data chunks. */
+  private def dataFileCount(s: Snapshot): Int =
+    if (s.chunkRefs.isEmpty) s.dataFiles.size
+    else s.chunkRefs.iterator.map {
+      case c if c.kind == "data" => c.n
+      case c if c.kind == "delete" => 0
+      case c => readChunk(c.name).count(_.kind == "data")
+    }.sum
+
   def readSince(afterSeq: Long, version: Option[Long] = None)
       : (DataFrame, Int, Int) = {
     val snapOpt = version.map(snapshot).orElse(currentSnapshot)
     snapOpt match {
       case Some(s) =>
-        val live = s.dataFiles.filter(_.maxSeq > afterSeq)
+        // chunk-level seq prune first: an incremental consumer never
+        // parses chunk files whose aggregate maxSeq sits at or below its
+        // watermark (steady state: only the chunks of recent commits)
+        val live: Seq[FileEntry] =
+          if (s.chunkRefs.isEmpty) s.dataFiles.filter(_.maxSeq > afterSeq)
+          else s.chunkRefs.filterNot(_.kind == "delete")
+            .filter(_.maxSeq > afterSeq)
+            .flatMap(c => readChunk(c.name))
+            .filter(f => f.kind == "data" && f.maxSeq > afterSeq)
         val df =
           if (live.isEmpty)
             spark.createDataFrame(
@@ -617,7 +634,7 @@ class LakeTable(val root: String, spark: SparkSession,
           else resolveDeletes(readDataFiles(live, s.schema, s.renames), s,
             scanned = Some(live))
             .filter(col("seq") > afterSeq)
-        (df, live.size, s.dataFiles.size)
+        (df, live.size, dataFileCount(s))
       case None =>
         (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Model.lakeSchemaV1), 0, 0)
@@ -759,13 +776,7 @@ class LakeTable(val root: String, spark: SparkSession,
               }
             hitChunks.flatMap(c => readChunk(c.name)).filter(_.kind == "data")
           }
-        val totalData: Int =
-          if (s.chunkRefs.isEmpty) s.dataFiles.size
-          else s.chunkRefs.iterator.map {
-            case c if c.kind == "data" => c.n
-            case c if c.kind == "delete" => 0
-            case c => readChunk(c.name).count(_.kind == "data")
-          }.sum
+        val totalData: Int = dataFileCount(s)
         val live =
           if (keys.isEmpty) Nil
           else if (!bulk)
@@ -1163,6 +1174,24 @@ object LakeTable {
     * rule, [[graft.sources.GraftDataSource]]). */
   private[graft] def unionSchemas(a: StructType, b: StructType): StructType =
     StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+
+  /** Output schema of [[LakeTable.changeFeed]] for a table schema `t`:
+    * key columns, the change classification, and nullable before/after
+    * image structs over the value columns. */
+  def changeFeedSchema(t: StructType): StructType = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    // images are nullable end-to-end (a delete has no after, an insert no
+    // before), so the value fields shed any NOT NULL the table schema had
+    val img = StructType(t.fields
+      .filterNot(f => f.name == "repo" || f.name == "path")
+      .map(f => StructField(f.name, f.dataType, nullable = true)))
+    StructType(Seq(
+      StructField("repo", StringType),
+      StructField("path", StringType),
+      StructField("change_type", StringType),
+      StructField("before", img),
+      StructField("after", img)))
+  }
 
   /** Row count + (repo, path) string min/max + seq long min/max from a
     * parquet footer. Static so write-job TASKS can call it

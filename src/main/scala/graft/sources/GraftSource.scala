@@ -65,9 +65,14 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
   // ---- streaming face: the table as a change-feed stream ---------------
   // (see GraftStreamSource for semantics)
 
-  private def streamSchema(spark: SparkSession, ci: Map[String, String]): StructType =
-    new LakeTable(ci("path"), spark).currentSnapshot.map(_.schema)
+  private def isCdf(ci: Map[String, String]): Boolean =
+    ci.get("changefeed").exists(_.toBoolean)
+
+  private def streamSchema(spark: SparkSession, ci: Map[String, String]): StructType = {
+    val t = new LakeTable(ci("path"), spark).currentSnapshot.map(_.schema)
       .getOrElse(graft.core.Model.lakeSchemaV1)
+    if (isCdf(ci)) LakeTable.changeFeedSchema(t) else t
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -84,7 +89,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     new GraftStreamSource(spark, ci("path"),
       ci.get("startingversion").map(_.toLong),
-      schema.getOrElse(streamSchema(spark, ci)))
+      schema.getOrElse(streamSchema(spark, ci)),
+      cdf = isCdf(ci))
   }
 
   /** `df.write.format("graft").mode(…).save(root)` — the TRANSACTIONAL

@@ -39,9 +39,19 @@ import graft.lake.LakeTable
   *
   * `option("startingVersion", v)`: begin after version v's watermark
   * (default: deliver the whole existing table as the first batch, then
-  * increments). */
+  * increments).
+  *
+  * `option("changeFeed", "true")`: micro-batches are ROW-LEVEL CHANGES
+  * instead of new winners — [[LakeTable.changeFeed]] between the two
+  * offset versions, so consumers see insert / update / DELETE rows with
+  * before/after images (the plain mode cannot express a deletion at
+  * all). The first batch materializes the whole table as inserts unless
+  * `startingVersion` pins a baseline. Replay determinism and the
+  * retention contract are unchanged: both ends of every interval are
+  * pinned snapshots. */
 class GraftStreamSource(spark: SparkSession, root: String,
-    startingVersion: Option[Long], declaredSchema: StructType) extends Source {
+    startingVersion: Option[Long], declaredSchema: StructType,
+    cdf: Boolean = false) extends Source {
 
   private val lake = new LakeTable(root, spark)
 
@@ -65,15 +75,28 @@ class GraftStreamSource(spark: SparkSession, root: String,
       case LongOffset(v) => v
       case o => o.json().toLong
     }
-    val afterSeq = start
+    val startV = start
       .map { case LongOffset(v) => v; case o => o.json().toLong }
       .orElse(startingVersion)
-      .map(watermark)
-      .getOrElse(Long.MinValue)
-    val (feed, _, _) = lake.readSince(afterSeq, version = Some(endV))
+    val feed =
+      if (!cdf) {
+        val afterSeq = startV.map(watermark).getOrElse(Long.MinValue)
+        lake.readSince(afterSeq, version = Some(endV))._1
+      } else startV match {
+        case Some(v) => lake.changeFeed(v, endV)
+        case None =>
+          // no baseline: the existing table IS the first batch, as inserts
+          val t = lake.read(Some(endV))
+          val img = t.columns.toSeq.filterNot(c => c == "repo" || c == "path")
+          val imgT = org.apache.spark.sql.types.StructType(
+            t.schema.fields.filterNot(f => f.name == "repo" || f.name == "path"))
+          t.select(col("repo"), col("path"), lit("insert").as("change_type"),
+            lit(null).cast(imgT).as("before"),
+            struct(img.map(col): _*).as("after"))
+      }
     // conform to the pinned schema: later snapshots may be wider
     val conformed = feed.select(declaredSchema.fields.toSeq.map { f =>
-      if (feed.columns.contains(f.name)) col(f.name)
+      if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     // MicroBatchExecution asserts isStreaming on the returned frame; the

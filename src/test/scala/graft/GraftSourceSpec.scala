@@ -263,6 +263,54 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(got.isEmpty, "compaction must stream as an empty batch, not re-delivery")
   }
 
+  test("streaming CDF mode: deletions stream as delete rows with before images") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TestSpark.tmpDir("srccdf")
+    val ck = TestSpark.tmpDir("srccdf-ck")
+    val lake = new LakeTable(root, spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
+    val ev = canonical(3000, 23L)
+    val mx = ev.agg(max($"seq")).head().getLong(0)
+    applier.applyBatch(ev.filter($"seq" <= mx / 2), "cdf-0")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, Any, Any)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("changeFeed", "true").load(root)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"repo", $"path", $"change_type",
+            $"before.seq".as("bseq"), $"after.seq".as("aseq")).collect()
+            .foreach(r => got.add((r.getString(0), r.getString(1), r.getString(2),
+              r.get(3), r.get(4))))
+          ()
+        }.start()
+      awaitAndStop(q)
+    }
+    // first drain: the whole table as inserts (no baseline version)
+    drain()
+    val snap0 = got.toArray.toSet
+    assert(snap0.nonEmpty)
+    assert(snap0.forall { case t: (_, _, _, _, _) =>
+      t.asInstanceOf[(String, String, String, Any, Any)]._3 == "insert" })
+    val v1 = lake.currentVersion.get
+    // second batch includes DELETE ops → the incremental drain must carry
+    // delete rows (before image, null after) — invisible to the plain mode
+    got.clear()
+    applier.applyBatch(ev.filter($"seq" > mx / 2), "cdf-1")
+    val v2 = lake.currentVersion.get
+    drain()
+    val expected = lake.changeFeed(v1, v2)
+      .select($"repo", $"path", $"change_type",
+        $"before.seq".as("bseq"), $"after.seq".as("aseq")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.get(3), r.get(4)))
+      .toSet
+    assert(got.toArray.toSet == expected.map(_.asInstanceOf[Any]))
+    val kinds = expected.map(_._3)
+    assert(kinds.contains("delete"), "batch had DELETE ops; feed must surface them")
+    assert(kinds.contains("update"))
+  }
+
   test("empty table root yields an empty relation under the engine schema") {
     val lake = new LakeTable(TestSpark.tmpDir("srcempty"), spark)
     val df = readGraft(lake.root)
