@@ -311,6 +311,41 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(kinds.contains("update"))
   }
 
+  test("streaming CDF mode: startingVersion pins the baseline, skipping the insert backfill") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TestSpark.tmpDir("srccdfsv")
+    val ck = TestSpark.tmpDir("srccdfsv-ck")
+    val lake = new LakeTable(root, spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
+    val ev = canonical(2000, 29L)
+    val mx = ev.agg(max($"seq")).head().getLong(0)
+    applier.applyBatch(ev.filter($"seq" <= mx / 2), "sv-0")
+    val v1 = lake.currentVersion.get
+    applier.applyBatch(ev.filter($"seq" > mx / 2), "sv-1")
+    val v2 = lake.currentVersion.get
+    // a consumer that already holds version v1 must receive ONLY the
+    // changes since it — never the table-as-inserts backfill
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true").option("startingVersion", v1.toString)
+      .load(root)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select($"repo", $"path", $"change_type").collect()
+          .foreach(r => got.add((r.getString(0), r.getString(1), r.getString(2))))
+        ()
+      }.start()
+    awaitAndStop(q)
+    val expected = lake.changeFeed(v1, v2)
+      .select($"repo", $"path", $"change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got.toArray.toSet == expected.map(_.asInstanceOf[Any]))
+    assert(!expected.exists(_._3 == "insert") ||
+      expected.size < lake.read().count(),
+      "baseline drain must not re-deliver the whole table")
+  }
+
   test("empty table root yields an empty relation under the engine schema") {
     val lake = new LakeTable(TestSpark.tmpDir("srcempty"), spark)
     val df = readGraft(lake.root)
