@@ -61,7 +61,9 @@ class LakeTable(val root: String, spark: SparkSession,
   Files.createDirectories(dataDir)
 
   /** Parsed manifest CHUNKS by file name — chunk files are immutable, so
-    * the cache is always valid; bounded by live metadata size. */
+    * the cache is always valid. Bounded by live metadata size:
+    * [[writeManifest]] evicts chunks its commit stops referencing, and
+    * [[expireSnapshots]] evicts chunks it deletes. */
   private val chunkCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[FileEntry]]
 
@@ -719,10 +721,14 @@ class LakeTable(val root: String, spark: SparkSession,
       candParts.reduce(_ unionByName _).distinct())
     val joined = img(stateRestricted(a, cand), "before")
       .join(img(stateRestricted(b, cand), "after"), Seq("repo", "path"), "full_outer")
+    // same-state filter compares the WHOLE images null-safely: tables
+    // created through the plain `format("graft")` sink need not carry
+    // seq/commit columns (named-field access would fail to resolve), and
+    // a null-propagating =!= on nullable fields would silently drop
+    // genuine updates. For engine tables this is equivalent to the
+    // (seq, commit) comparison — a new winner always changes them.
     joined
-      .filter(col("before").isNull || col("after").isNull ||
-        col("before.seq") =!= col("after.seq") ||
-        col("before.commit") =!= col("after.commit"))
+      .filter(!(col("before") <=> col("after")))
       .select(col("repo"), col("path"),
         when(col("before").isNull, "insert")
           .when(col("after").isNull, "delete")
@@ -864,12 +870,22 @@ class LakeTable(val root: String, spark: SparkSession,
         metaDeleted += 1
     }
     // sweep manifest CHUNKS referenced by no kept snapshot (expired
-    // versions' rewritten chunks + orphans from lost commit races)
+    // versions' rewritten chunks + orphans from lost commit races).
+    // Only chunks whose EMBEDDED version (`c-<version>-…`) is below
+    // keepFrom are candidates: [[writeManifest]] fsyncs chunk files
+    // BEFORE the manifest that references them becomes visible, so an
+    // expiry racing an in-flight commit must never treat that commit's
+    // not-yet-referenced chunks as orphans (expiry is documented safe to
+    // run concurrently with commits). True orphans age out once keepFrom
+    // passes their version.
     val keptChunks: Set[String] = vs.filter(_ >= keepFrom)
       .flatMap(v => snapshot(v).chunkRefs.map(_.name)).toSet
+    def chunkVersion(n: String): Long =
+      Try(n.stripPrefix("c-").takeWhile(_ != '-').toLong).getOrElse(Long.MaxValue)
     val ml = Files.list(metaDir)
     val chunkFiles = try ml.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith("c-") && n.endsWith(".json")).toSeq
+      .filter(n => n.startsWith("c-") && n.endsWith(".json") &&
+        chunkVersion(n) < keepFrom).toSeq
       finally ml.close()
     chunkFiles.filterNot(keptChunks.contains).foreach { n =>
       if (Try(Files.deleteIfExists(metaDir.resolve(n))).getOrElse(false)) {
@@ -1070,7 +1086,15 @@ class LakeTable(val root: String, spark: SparkSession,
       val dch = java.nio.channels.FileChannel.open(metaDir, java.nio.file.StandardOpenOption.READ)
       try dch.force(true) finally dch.close()
     }
-    ()
+    // bound the chunk cache to LIVE metadata: chunks this commit stopped
+    // referencing (replaced or folded) are evicted here — a long-lived
+    // applier otherwise caches one new chunk per commit and memory grows
+    // with COMMIT count, not live file count. Retained older snapshots
+    // that still reference an evicted chunk re-parse it on demand.
+    val keptNames = (reused ++ newChunks).map(_.name).toSet
+    prevChunks.filterNot(c => keptNames.contains(c.name)).foreach { c =>
+      chunkCache.remove(c.name); ()
+    }
   }
 
   private def readManifest(p: Path, version: Long): Snapshot = {

@@ -173,7 +173,9 @@ object EngineE2E {
     applier.applyBatch(changes.filter(col("seq") > cut1 && col("seq") <= cut2), "cv-1")
     applier.applyBatch(changes.filter(col("seq") > cut2), "cv-2")
     lake.compact(minRows = Long.MaxValue)
-    assert(lake.currentSnapshot.exists(_.deleteFiles.isEmpty),
+    // require, not assert: this is a query-path invariant check and must
+    // survive -Xdisable-assertions
+    require(lake.currentSnapshot.exists(_.deleteFiles.isEmpty),
       "major compaction must fold all delete files")
     lake.expireSnapshots(keepLast = 1)
     val out = lake.read().select(col("repo"), col("path"), col("commit"), col("lang"),
