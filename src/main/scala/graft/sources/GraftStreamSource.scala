@@ -10,36 +10,45 @@ import graft.lake.LakeTable
 
 /** `spark.readStream.format("graft").load(root)` — the lake table as a
   * STRUCTURED STREAM: each micro-batch delivers the rows whose winning
-  * `seq` advanced past the previous batch's watermark (the
-  * [[LakeTable.readSince]] change feed under checkpointed offsets — the
-  * Delta/Iceberg "table as a stream" face, push-style CDC consumption
-  * without a message bus).
+  * state changed between the previous and current snapshot versions
+  * (a [[LakeTable.changeFeed]] snapshot diff under checkpointed offsets
+  * — the Delta/Iceberg "table as a stream" face, push-style CDC
+  * consumption without a message bus).
   *
   * Exactly-once mechanics:
   *  - an OFFSET is a SNAPSHOT VERSION. `getOffset` reports the current
-  *    head; `getBatch(v1, v2)` reads snapshot v2 (pinned — concurrent
-  *    commits cannot move it) and keeps rows with `seq >` the watermark
-  *    of v1, where a version's watermark is the max `seq` its manifest's
-  *    file stats record. Both ends come from MANIFESTS, so a replayed
-  *    (v1, v2] after a crash rebuilds the identical batch — provided the
+  *    head; `getBatch(v1, v2)` delivers the SNAPSHOT DIFF between the
+  *    two pinned versions — [[LakeTable.changeFeed]] projected to
+  *    insert/update after-images (a deletion is inexpressible in this
+  *    mode and is dropped; consumers that need deletions use the CDF
+  *    mode). Both ends are pinned manifests, so a replayed (v1, v2]
+  *    after a crash rebuilds the identical batch — provided the
   *    snapshots are retained, the standard streaming-read retention
   *    contract ([[LakeTable.expireSnapshots]]'s keepLast must outlive
   *    checkpoint lag, exactly like Delta's streaming source vs VACUUM).
-  *  - file-level seq-stats pruning makes each batch's scan proportional
-  *    to the churn since the last trigger, never table size; delete
-  *    files and rename mappings resolve inside `readSince`, so a
-  *    merge-on-read table streams correctly between compactions.
+  *    A snapshot diff is correct under LAGGING SOURCE PARTITIONS: the
+  *    applier's delivery contract is per-source-partition monotone seq,
+  *    so a batch committed from a lagging binlog partition carries
+  *    winning seqs BELOW other partitions' already-committed maxima — a
+  *    global seq watermark (the r4 design) would skip those rows
+  *    forever, while the version diff sees every key whose state
+  *    changed, whatever its seq.
+  *  - candidate keys come only from files disturbed between the
+  *    versions, so each batch's scan is proportional to the churn since
+  *    the last trigger, never table size; delete files and rename
+  *    mappings resolve inside the state reads, so a merge-on-read table
+  *    streams correctly between compactions.
   *  - maintenance commits (compaction, consolidation, expiry) advance
-  *    the version but not the watermark → empty micro-batches, no
+  *    the version but not the table state → empty micro-batches, no
   *    duplicate delivery.
   *
   * Schema is pinned at stream start (the standard structured-streaming
   * contract); rows from later, wider snapshots are conformed to it —
   * restart the stream to pick up promoted columns.
   *
-  * `option("startingVersion", v)`: begin after version v's watermark
-  * (default: deliver the whole existing table as the first batch, then
-  * increments).
+  * `option("startingVersion", v)`: version v is the baseline — the
+  * first batch diffs against it (default: deliver the whole existing
+  * table as the first batch, then increments).
   *
   * `option("changeFeed", "true")`: micro-batches are ROW-LEVEL CHANGES
   * instead of new winners — [[LakeTable.changeFeed]] between the two
@@ -57,16 +66,6 @@ class GraftStreamSource(spark: SparkSession, root: String,
 
   override def schema: StructType = declaredSchema
 
-  /** Max winning seq recorded by a snapshot's data-file stats; MinValue
-    * for an empty table (every row's seq beats it). Files without seq
-    * stats carry the MaxValue sentinel and are excluded — they cannot
-    * define a CDC watermark (a non-CDC table streams as one batch). */
-  private def watermark(version: Long): Long = {
-    val stats = lake.snapshot(version).dataFiles
-      .map(_.maxSeq).filter(_ != Long.MaxValue)
-    if (stats.isEmpty) Long.MinValue else stats.max
-  }
-
   override def getOffset: Option[SourceOffset] =
     lake.currentVersion.map(LongOffset(_))
 
@@ -78,22 +77,27 @@ class GraftStreamSource(spark: SparkSession, root: String,
     val startV = start
       .map { case LongOffset(v) => v; case o => o.json().toLong }
       .orElse(startingVersion)
-    val feed =
-      if (!cdf) {
-        val afterSeq = startV.map(watermark).getOrElse(Long.MinValue)
-        lake.readSince(afterSeq, version = Some(endV))._1
-      } else startV match {
-        case Some(v) => lake.changeFeed(v, endV)
-        case None =>
-          // no baseline: the existing table IS the first batch, as inserts
-          val t = lake.read(Some(endV))
-          val img = t.columns.toSeq.filterNot(c => c == "repo" || c == "path")
-          val imgT = org.apache.spark.sql.types.StructType(
-            t.schema.fields.filterNot(f => f.name == "repo" || f.name == "path"))
-          t.select(col("repo"), col("path"), lit("insert").as("change_type"),
-            lit(null).cast(imgT).as("before"),
-            struct(img.map(col): _*).as("after"))
-      }
+    val feed = (startV, cdf) match {
+      case (None, false) =>
+        // no baseline: the existing table IS the first batch
+        lake.read(Some(endV))
+      case (Some(v), false) =>
+        // snapshot diff projected to after-images: exactly the keys whose
+        // winning state changed in (v, endV], at O(churn) scan cost
+        lake.changeFeed(v, endV)
+          .filter(col("change_type") =!= "delete")
+          .select(col("repo"), col("path"), col("after.*"))
+      case (Some(v), true) => lake.changeFeed(v, endV)
+      case (None, true) =>
+        // no baseline: the existing table IS the first batch, as inserts
+        val t = lake.read(Some(endV))
+        val img = t.columns.toSeq.filterNot(c => c == "repo" || c == "path")
+        val imgT = org.apache.spark.sql.types.StructType(
+          t.schema.fields.filterNot(f => f.name == "repo" || f.name == "path"))
+        t.select(col("repo"), col("path"), lit("insert").as("change_type"),
+          lit(null).cast(imgT).as("before"),
+          struct(img.map(col): _*).as("after"))
+    }
     // conform to the pinned schema: later snapshots may be wider
     val conformed = feed.select(declaredSchema.fields.toSeq.map { f =>
       if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

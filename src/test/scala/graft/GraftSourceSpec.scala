@@ -263,6 +263,51 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(got.isEmpty, "compaction must stream as an empty batch, not re-delivery")
   }
 
+  test("plain streaming mode delivers rows from a lagging source partition") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the applier's delivery contract is per-SOURCE-PARTITION monotone
+    // seq: partitions may lag each other, so a batch committed after v1
+    // from a lagging partition legitimately carries seqs BELOW the
+    // leader partition's v1 maximum. A global-seq watermark would skip
+    // those rows forever; the snapshot-diff batch must deliver them.
+    val root = TestSpark.tmpDir("srclag")
+    val ck = TestSpark.tmpDir("srclag-ck")
+    val lake = new LakeTable(root, spark)
+    val applier = new CdcApplier(lake, spark, mergeOnRead = true)
+    def ev(part: String, repo: String, path: String, seq: Long) =
+      (("UPDATE", part, repo, path, s"c$seq", "scala", s"content-$seq", seq))
+    val cols = Seq("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    // leader partition p0 races ahead to seq 1000
+    applier.applyBatch(
+      Seq(ev("p0", "rA", "f1", 900L), ev("p0", "rB", "f2", 1000L))
+        .toDF(cols: _*), "lag-0")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"repo", $"path", $"seq").collect()
+            .foreach(r => got.add((r.getString(0), r.getString(1), r.getLong(2))))
+          ()
+        }.start()
+      awaitAndStop(q)
+    }
+    drain()
+    assert(got.toArray.toSet ==
+      Set(("rA", "f1", 900L), ("rB", "f2", 1000L)).map(_.asInstanceOf[Any]))
+    // lagging partition p1 commits NEW KEYS with seqs below p0's max —
+    // first-seen for their partition, so the applier accepts them
+    got.clear()
+    applier.applyBatch(
+      Seq(ev("p1", "rC", "f3", 500L), ev("p1", "rD", "f4", 600L))
+        .toDF(cols: _*), "lag-1")
+    drain()
+    assert(got.toArray.toSet ==
+      Set(("rC", "f3", 500L), ("rD", "f4", 600L)).map(_.asInstanceOf[Any]),
+      "rows from the lagging partition must be delivered, not skipped")
+  }
+
   test("streaming CDF mode: deletions stream as delete rows with before images") {
     import org.apache.spark.sql.streaming.Trigger
     val root = TestSpark.tmpDir("srccdf")
