@@ -76,10 +76,18 @@ class LakeTable(val root: String, spark: SparkSession,
     * `(repo, path, seq, commit)` row per superseded key, carrying the
     * key's WINNING version — a data row is live iff no delete entry for
     * its key is strictly newer; see [[resolveDeletes]]). */
+  /** `bytes` is the file's on-disk size, recorded at write time from the
+    * same footer-stats pass — so planning (scan statistics, split
+    * sizing, byte-targeted compaction) never issues a per-file
+    * `getFileStatus` RPC: at 10^5 files on object storage that is 10^5
+    * HEAD requests per query plan, exactly the per-file metadata cost a
+    * manifest exists to remove (Iceberg stores `file_size_in_bytes` for
+    * the same reason). `0` marks a pre-r5 entry (callers fall back to
+    * the filesystem for those). */
   case class FileEntry(path: String, rows: Long, minRepo: String, maxRepo: String,
       minKey: String, maxKey: String,
       minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue,
-      kind: String = "data")
+      kind: String = "data", bytes: Long = 0L)
 
   /** `renames` is the cumulative column-rename mapping: STORED (old)
     * name → CURRENT name, chain-collapsed (after a→b then b→c it holds
@@ -186,8 +194,16 @@ class LakeTable(val root: String, spark: SparkSession,
       val t = schema(n).dataType
       olds.map(o => org.apache.spark.sql.types.StructField(o, t, nullable = true))
     }
-    val df = spark.read.schema(StructType(schema.fields ++ extras))
-      .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
+    val scanSchema = StructType(schema.fields ++ extras)
+    // manifest-backed scan when every entry carries recorded bytes: the
+    // plan is built with ZERO filesystem metadata calls and file-level
+    // predicate pruning from manifest stats (GraftScans); pre-r5 entries
+    // (bytes unknown) fall back to the listing-based reader
+    val df =
+      if (files.nonEmpty && files.forall(_.bytes > 0L))
+        graft.sources.GraftScans.scanEntries(spark, root, files, scanSchema)
+      else spark.read.schema(scanSchema)
+        .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
     if (extras.isEmpty) df
     else df.select(schema.fields.toSeq.map { f =>
       inv.get(f.name) match {
@@ -196,6 +212,17 @@ class LakeTable(val root: String, spark: SparkSession,
       }
     }: _*)
   }
+
+  /** Scan an explicit manifest-entry subset under `schema` — the
+    * manifest-backed zero-listing path when every entry records bytes
+    * ([[graft.sources.GraftScans]]), the plain reader otherwise. Used by
+    * every engine path that reads a pruned file subset (delete files,
+    * merge-on-read key columns). */
+  private[graft] def readEntries(files: Seq[FileEntry], schema: StructType): DataFrame =
+    if (files.nonEmpty && files.forall(_.bytes > 0L))
+      graft.sources.GraftScans.scanEntries(spark, root, files, schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => Paths.get(root, f.path).toString): _*)
 
   /** Apply a snapshot's merge-on-read delete files to a data scan: a row
     * survives iff NO delete entry for its key carries a strictly newer
@@ -225,8 +252,7 @@ class LakeTable(val root: String, spark: SparkSession,
     }
     if (dels.isEmpty) data
     else {
-      val dmax = spark.read.schema(LakeTable.deleteSchema)
-        .parquet(dels.map(f => Paths.get(root, f.path).toString): _*)
+      val dmax = readEntries(dels, LakeTable.deleteSchema)
         .groupBy(col("repo"), col("path"))
         .agg(max(struct(col("seq").as("s"), col("commit").as("c"))).as("_dmax"))
       data.join(dmax, Seq("repo", "path"), "left")
@@ -355,7 +381,7 @@ class LakeTable(val root: String, spark: SparkSession,
     // executors + a plain file: root → collect stats driver-side
     val localOnlyStage = tmp.toUri.getScheme == "file" || tmp.toUri.getScheme == null
     val taskSide = spark.sparkContext.isLocal || !localOnlyStage
-    val stats: Map[String, (Long, String, String, String, String, Long, Long)] =
+    val stats: Map[String, (Long, String, String, String, String, Long, Long, Long)] =
       if (parts.isEmpty) Map.empty
       else if (!taskSide) {
         val conf = spark.sessionState.newHadoopConf()
@@ -371,21 +397,21 @@ class LakeTable(val root: String, spark: SparkSession,
           .mapPartitions { it =>
             val conf = confBc.value.value
             it.map { p =>
-              val (rws, minR, maxR, minP, maxP, minS, maxS) =
+              val (rws, minR, maxR, minP, maxP, minS, maxS, bytes) =
                 LakeTable.footerStats(Paths.get(p), conf)
-              (p, rws, minR, maxR, minP, maxP, minS, maxS)
+              (p, rws, minR, maxR, minP, maxP, minS, maxS, bytes)
             }
           }.collect()
         confBc.unpersist()
-        rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+        rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))).toMap
       }
     val entries = partsKinded.zipWithIndex.map { case ((src, k), i) =>
-      val (rows, minR, maxR, minP, maxP, minS, maxS) = stats(src.toString)
+      val (rows, minR, maxR, minP, maxP, minS, maxS, bytes) = stats(src.toString)
       val name = s"$label-$k-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
       val dst = dataDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
-        minS, maxS, k)
+        minS, maxS, k, bytes)
     }
     // clean tmp dir remnants (_SUCCESS etc.)
     val w = Files.walk(tmp)
@@ -503,9 +529,15 @@ class LakeTable(val root: String, spark: SparkSession,
     *  - `singleFile = true`: explicit `coalesce(1)` for a KNOWN-tiny
     *    table (the only case where one task is the right plan). */
   def compact(minRows: Long, shufflePartitions: Int = 0,
-      singleFile: Boolean = false): Option[Long] = {
+      singleFile: Boolean = false, minBytes: Long = 0L): Option[Long] = {
     val snap = currentSnapshot.getOrElse(return None)
     val major = snap.deleteFiles.nonEmpty
+    // byte-targeted selection uses the manifest-recorded file sizes —
+    // the operationally honest threshold (a 10^6-row file of tiny rows
+    // can still be a small file); entries without recorded bytes
+    // (pre-r5) fall back to the row criterion alone
+    def undersized(f: FileEntry): Boolean = f.rows < minRows ||
+      (minBytes > 0 && f.bytes > 0 && f.bytes < minBytes)
     // MAJOR compaction (any merge-on-read delete files present) is
     // TARGETED, not whole-table: rewrite (deletes-resolved) exactly the
     // data files whose [minRepo, maxRepo] overlaps some delete file's
@@ -523,9 +555,9 @@ class LakeTable(val root: String, spark: SparkSession,
     val (small, keep) =
       if (major) {
         val dels = snap.deleteFiles
-        snap.dataFiles.partition(f => f.rows < minRows ||
+        snap.dataFiles.partition(f => undersized(f) ||
           dels.exists(d => d.minRepo <= f.maxRepo && d.maxRepo >= f.minRepo))
-      } else snap.files.partition(_.rows < minRows)
+      } else snap.files.partition(undersized)
     if (!major && small.size < 2) return None
     if (major && small.isEmpty)
       // nothing to rewrite (every delete file's range misses all live
@@ -576,8 +608,7 @@ class LakeTable(val root: String, spark: SparkSession,
     val snap = currentSnapshot.getOrElse(return None)
     val dels = snap.deleteFiles
     if (dels.size < minFiles) return None
-    val merged = spark.read.schema(LakeTable.deleteSchema)
-      .parquet(dels.map(f => Paths.get(root, f.path).toString): _*)
+    val merged = readEntries(dels, LakeTable.deleteSchema)
       .groupBy(col("repo"), col("path"))
       .agg(max(struct(col("seq").as("s"), col("commit").as("c"))).as("_m"))
       .select(col("repo"), col("path"),
@@ -679,15 +710,52 @@ class LakeTable(val root: String, spark: SparkSession,
     * simultaneously rewrites every data file overlapping its key range
     * (so a row it suppressed can never silently come back to life in a
     * shared file). */
-  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
-    val a = snapshot(fromVersion)
-    val b = snapshot(toVersion)
+  /** Candidate files for [[changeFeed]] over (`a`, `b`]: (data files
+    * added, data files removed, delete files carrying genuine churn).
+    *
+    * The delete side is CONSOLIDATION-AWARE: [[consolidateDeletes]]
+    * replaces N delete files with one merged per-key-max file, so a
+    * naive "delete files in b but not a" would treat that merged file —
+    * EVERY key deleted since the last major compaction — as interval
+    * churn, and the feed would state-read O(accumulated deletes)
+    * instead of O(churn). Consolidation is state-identity-preserving by
+    * construction (max is associative), so when a consolidation commit
+    * sits inside the interval, the candidates are instead the delete
+    * files added by the interval's NON-maintenance commits (a
+    * metadata-scale manifest walk; files of dropped mid-interval
+    * versions still exist under the retention contract that already
+    * governs feed reads — expiry keeps a contiguous version suffix). If
+    * any interval manifest is missing, fall back to the naive set
+    * (correct, just not consolidation-pruned). */
+  private[lake] def changeFeedCandidateFiles(a: Snapshot, b: Snapshot)
+      : (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) = {
     val aPaths = a.dataFiles.map(_.path).toSet
     val bPaths = b.dataFiles.map(_.path).toSet
     val removed = a.dataFiles.filterNot(f => bPaths.contains(f.path))
     val added = b.dataFiles.filterNot(f => aPaths.contains(f.path))
     val aDel = a.deleteFiles.map(_.path).toSet
-    val addedDel = b.deleteFiles.filterNot(f => aDel.contains(f.path))
+    val addedDel0 = b.deleteFiles.filterNot(f => aDel.contains(f.path))
+    val churnDel: Seq[FileEntry] =
+      if (addedDel0.isEmpty) addedDel0
+      else Try(((a.version + 1) to b.version).map(snapshot)).toOption match {
+        case Some(ss) if ss.exists(_.batchId.startsWith("consolidate-deletes-")) =>
+          var prevPaths = aDel
+          val out = Seq.newBuilder[FileEntry]
+          ss.foreach { s =>
+            if (!s.batchId.startsWith("consolidate-deletes-"))
+              out ++= s.deleteFiles.filterNot(f => prevPaths.contains(f.path))
+            prevPaths = s.deleteFiles.map(_.path).toSet
+          }
+          out.result().distinctBy(_.path)
+        case _ => addedDel0
+      }
+    (added, removed, churnDel)
+  }
+
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    val a = snapshot(fromVersion)
+    val b = snapshot(toVersion)
+    val (added, removed, addedDel) = changeFeedCandidateFiles(a, b)
     val valF = b.schema.fields.filterNot(f => f.name == "repo" || f.name == "path")
     def img(df: DataFrame, as: String) = df.select(col("repo"), col("path"),
       struct(valF.toSeq.map { f =>
@@ -709,8 +777,7 @@ class LakeTable(val root: String, spark: SparkSession,
           Seq(resolveDeletes(readDataFiles(removed, a.schema, a.renames), a,
             scanned = Some(removed)).select(keyC: _*)) else Nil) ++
         (if (addedDel.nonEmpty)
-          Seq(spark.read.schema(LakeTable.deleteSchema)
-            .parquet(addedDel.map(f => Paths.get(root, f.path).toString): _*)
+          Seq(readEntries(addedDel, LakeTable.deleteSchema)
             .select(keyC: _*)) else Nil)
     if (candParts.isEmpty)
       return spark.createDataFrame(
@@ -954,6 +1021,7 @@ class LakeTable(val root: String, spark: SparkSession,
     e.put("minSeq", java.lang.Long.valueOf(f.minSeq))
     e.put("maxSeq", java.lang.Long.valueOf(f.maxSeq))
     e.put("kind", f.kind)
+    e.put("bytes", java.lang.Long.valueOf(f.bytes))
     e
   }
 
@@ -966,7 +1034,8 @@ class LakeTable(val root: String, spark: SparkSession,
         .getOrElse(Long.MinValue),
       Option(e.get("maxSeq")).map(_.asInstanceOf[Number].longValue())
         .getOrElse(Long.MaxValue),
-      Option(e.get("kind")).map(_.asInstanceOf[String]).getOrElse("data"))
+      Option(e.get("kind")).map(_.asInstanceOf[String]).getOrElse("data"),
+      Option(e.get("bytes")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
 
   /** Write one immutable manifest chunk (fsynced; a chunk orphaned by a
     * lost commit race is invisible and swept by [[expireSnapshots]]). */
@@ -1217,11 +1286,12 @@ object LakeTable {
       StructField("after", img)))
   }
 
-  /** Row count + (repo, path) string min/max + seq long min/max from a
-    * parquet footer. Static so write-job TASKS can call it
+  /** Row count + (repo, path) string min/max + seq long min/max + file
+    * BYTES from a parquet footer open (the open already knows the length
+    * — no extra status call). Static so write-job TASKS can call it
     * without capturing a table instance (executor-side stat collection). */
   private[lake] def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
-      : (Long, String, String, String, String, Long, Long) = {
+      : (Long, String, String, String, String, Long, Long, Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
@@ -1266,7 +1336,8 @@ object LakeTable {
         Option(minR).getOrElse(""), Option(maxR).getOrElse("\uffff"),
         Option(minP).getOrElse(""), Option(maxP).getOrElse("\uffff"),
         if (minS == Long.MaxValue) Long.MinValue else minS,
-        if (maxS == Long.MinValue) Long.MaxValue else maxS)
+        if (maxS == Long.MinValue) Long.MaxValue else maxS,
+        in.getLength)
     } finally reader.close()
   }
 }

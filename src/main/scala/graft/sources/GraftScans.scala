@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeTable
+
+/** Manifest-entry-backed parquet scans for the ENGINE's own read paths.
+  *
+  * `spark.read.parquet(paths…)` builds an `InMemoryFileIndex`, which
+  * issues one driver-side status/list call per path at planning — at
+  * 10^5 live files on object storage that is 10^5 RPCs per read, the
+  * exact per-file metadata cost the manifest exists to remove. Here the
+  * `FileStatus` rows are synthesized from the manifest's recorded
+  * per-file `bytes` (collected by the footer-stats pass at write time,
+  * the Iceberg `file_size_in_bytes` idea), so planning a scan costs
+  * ZERO filesystem metadata calls, and `listFiles` additionally prunes
+  * entries against the query's data filters with the same per-column
+  * bounds logic as every other engine read path ([[GraftPruning]]) —
+  * manifest-level file skipping on engine-internal scans, not just the
+  * `format("graft")` face.
+  *
+  * The scan itself is a normal `FileSourceScanExec` over
+  * [[ParquetFileFormat]]: vectorized reader, whole-stage codegen,
+  * parquet row-group stats / bloom pushdown and AQE all apply. */
+object GraftScans {
+
+  /** Scan `entries` under `schema`. Caller guarantees every entry
+    * carries recorded bytes (`bytes > 0`); pre-r5 entries must go
+    * through the plain reader path instead. */
+  def scanEntries(spark: SparkSession, root: String,
+      entries: Seq[LakeTable#FileEntry], schema: StructType): DataFrame =
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      location = new GraftEntriesFileIndex(spark, root, entries),
+      partitionSchema = new StructType(),
+      // nullable, matching DataFrameReader.schema() semantics: files
+      // written before a rename/promotion legitimately miss columns, and
+      // the vectorized reader hard-errors on a missing REQUIRED column
+      dataSchema = StructType(schema.fields.map(_.copy(nullable = true))),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark))
+}
+
+/** [[FileIndex]] over an explicit manifest-entry subset: statuses from
+  * recorded bytes (zero FS calls), planning-time pruning from manifest
+  * stats. Snapshot-stable by construction — entries are immutable. */
+class GraftEntriesFileIndex(spark: SparkSession, root: String,
+    entries: Seq[LakeTable#FileEntry]) extends FileIndex {
+
+  private val rootHPath = new HPath(root)
+
+  private lazy val statuses: Seq[(LakeTable#FileEntry, FileStatus)] =
+    entries.map { f =>
+      val p = new HPath(rootHPath, f.path)
+      (f, new FileStatus(f.bytes, false, 1, f.bytes, 0L, p))
+    }
+
+  override def rootPaths: Seq[HPath] = Seq(rootHPath)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty,
+      statuses.collect {
+        case (f, st) if dataFilters.forall(GraftPruning.mayMatchCatalyst(_, f)) => st
+      }.toArray))
+
+  override def inputFiles: Array[String] =
+    entries.map(f => new HPath(rootHPath, f.path).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+}

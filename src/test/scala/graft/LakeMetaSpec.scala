@@ -75,6 +75,93 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("rows_after") == lake.read().count())
   }
 
+  test("manifest-recorded bytes: file index plans with zero filesystem status calls") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakebytes"), spark)
+    val ev = ChangeLogGen.events(spark, 800, 31L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    val files = lake.writeDataFiles(
+      ev.repartitionByRange(3, col("repo"), col("path")), "bytes-0")
+    lake.commit("bytes-0", Map("p0" -> 1L), ev.schema, Nil, files)
+    val snap = lake.currentSnapshot.get
+    // every entry carries its true on-disk size from the footer pass
+    snap.dataFiles.foreach { f =>
+      assert(f.bytes ==
+        java.nio.file.Files.size(java.nio.file.Paths.get(lake.root, f.path)),
+        s"recorded bytes must match disk for ${f.path}")
+    }
+    // the proof of zero status calls: hide the data files entirely —
+    // index build, listing and size statistics must still answer (a
+    // single getFileStatus would throw FileNotFoundException)
+    val dataDir = java.nio.file.Paths.get(lake.root, "data")
+    val hidden = java.nio.file.Paths.get(lake.root, "data-hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    try {
+      val ix = new graft.sources.GraftFileIndex(spark, lake, snap.version)
+      assert(ix.sizeInBytes == snap.dataFiles.map(_.bytes).sum)
+      val listed = ix.listFiles(Nil, Nil).flatMap(_.files)
+      assert(listed.size == snap.dataFiles.size)
+      assert(listed.map(_.getLen).sum == snap.dataFiles.map(_.bytes).sum)
+    } finally java.nio.file.Files.move(hidden, dataDir)
+  }
+
+  test("compaction can target bytes: undersized-by-bytes files are folded, large kept") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakebcompact"), spark)
+    val ev = ChangeLogGen.events(spark, 3000, 37L)
+      .filter(lower($"source") === "app.change.log")
+      .select($"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    val big = lake.writeDataFiles(ev.filter($"seq" % 4 =!= 0).coalesce(1), "bc-big")
+    val tiny = lake.writeDataFiles(
+      ev.filter($"seq" % 4 === 0).repartitionByRange(3, col("repo"), col("path")),
+      "bc-tiny")
+    lake.commit("bc-0", Map("p0" -> 1L), ev.schema, Nil, big ++ tiny)
+    val before = lake.currentSnapshot.get.dataFiles
+    val bigBytes = big.map(_.bytes).max
+    val threshold = tiny.map(_.bytes).max + 1
+    assert(threshold <= bigBytes, "fixture: tiny files must be smaller than the big one")
+    val total = lake.read().count()
+    // minRows = 1 means NO file qualifies by rows — selection is bytes-only
+    assert(lake.compact(minRows = 1, minBytes = threshold).nonEmpty)
+    val after = lake.currentSnapshot.get.dataFiles
+    assert(after.map(_.path).toSet.intersect(big.map(_.path).toSet) == big.map(_.path).toSet,
+      "the large file must be kept by reference")
+    assert(after.size < before.size, "tiny files must be folded together")
+    assert(lake.read().count() == total, "compaction is pure maintenance")
+  }
+
+  test("change feed across a delete consolidation reads O(churn), not O(accumulated deletes)") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakecdfcons"), spark)
+    val app = new CdcApplier(lake, spark, mergeOnRead = true)
+    def rows(ids: Range, tag: String, seqBase: Long) =
+      ids.map { i => ("UPDATE", "p0", f"cr$i%04d", "f", s"c$tag$i", "scala",
+        s"content-$tag-$i", seqBase + i) }
+        .toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+    app.applyBatch(rows(0 until 800, "a", 0), "cons-0")       // v0 base
+    app.applyBatch(rows(0 until 500, "b", 10000), "cons-1")   // v1: 500-key churn
+    val vA = lake.currentVersion.get
+    app.applyBatch(rows(0 until 30, "c", 20000), "cons-2")    // v2: 30-key churn
+    assert(lake.consolidateDeletes().nonEmpty)                // v3: merges 530 entries
+    val vB = lake.currentVersion.get
+    // the consolidated output must NOT enter the candidate set — only
+    // the interval's genuine churn files (30 delete entries, not 530)
+    val (_, _, churnDel) = lake.changeFeedCandidateFiles(
+      lake.snapshot(vA), lake.snapshot(vB))
+    val churnRows = churnDel.map(_.rows).sum
+    assert(churnRows > 0 && churnRows <= 60,
+      s"delete-side candidates must be the interval churn (~30 rows), got $churnRows")
+    // and the feed across the consolidation still sees exactly the churn
+    val feed = lake.changeFeed(vA, vB)
+      .select($"repo", $"change_type").collect()
+    assert(feed.map(_.getString(0)).toSet ==
+      (0 until 30).map(i => f"cr$i%04d").toSet)
+    assert(feed.forall(_.getString(1) == "update"))
+    // a consolidation-only interval is zero-candidate on the delete side
+    val (ad2, rm2, cd2) = lake.changeFeedCandidateFiles(
+      lake.snapshot(vB - 1), lake.snapshot(vB))
+    assert(ad2.isEmpty && rm2.isEmpty && cd2.isEmpty,
+      "maintenance-only interval must contribute no candidates at all")
+  }
+
   test("readSince: change feed matches filtered full read and prunes files by seq stats") {
     val lake = new LakeTable(TestSpark.tmpDir("lakefeed"), spark)
     val applier = new CdcApplier(lake, spark)
