@@ -114,12 +114,20 @@ class LakeTable(val root: String, spark: SparkSession,
     * lineage) or only a range slice ([[lookupKeys]]) never parse the
     * whole list. `inlineFiles` carries a pre-chunking manifest's inline
     * list (still readable; its next commit chunks it once). */
+  /** `saved` is the STICKY batch-fence map: unlike `applied` (trimmed to
+    * the newest [[appliedWindow]] entries, backstopped by the offsets
+    * watermark), entries here are never trimmed — the fence for
+    * offset-less writers (the `format("graft")` sink's explicit-batchId
+    * saves) whose replays may arrive arbitrarily many commits later.
+    * Growth is O(sticky saves), a deliberate cost the caller opts into
+    * per save. */
   case class Snapshot(version: Long, schema: StructType,
       offsets: Map[String, Long], applied: Map[String, String],
       lineage: Map[String, Long], batchId: String = "",
       renames: Map[String, String] = Map.empty,
       chunkRefs: Seq[ChunkRef] = Nil,
-      inlineFiles: Option[Seq[FileEntry]] = None) {
+      inlineFiles: Option[Seq[FileEntry]] = None,
+      saved: Map[String, String] = Map.empty) {
     lazy val files: Seq[FileEntry] =
       inlineFiles.getOrElse(chunkRefs.flatMap(c => readChunk(c.name)))
     def dataFiles: Seq[FileEntry] = files.filter(_.kind == "data")
@@ -331,7 +339,12 @@ class LakeTable(val root: String, spark: SparkSession,
       : Seq[FileEntry] = {
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
-    val sorted = df.sortWithinPartitions("repo", "path").write.mode("overwrite")
+    // KEYLESS tables (e.g. the quarantine sink's (raw, errors, stage)
+    // rows) skip the key sort and blooms \u2014 their footer stats degrade to
+    // the full-range sentinels and reads are always full scans
+    val hasKeys = df.columns.contains("repo") && df.columns.contains("path")
+    val sorted = (if (hasKeys) df.sortWithinPartitions("repo", "path") else df)
+      .write.mode("overwrite")
     // parquet bloom filters on the key columns: row-group-level point
     // pruning INSIDE files, the layer below the manifest's min/max
     // ranges — a key equality scan ([[lookupKeys]]) skips row groups
@@ -347,7 +360,7 @@ class LakeTable(val root: String, spark: SparkSession,
     // amplification MoR exists to bound, while wide long-lived files
     // (CoW merges, compaction rewrites) keep full bloom coverage.
     val writer =
-      if (!blooms) sorted
+      if (!blooms || !hasKeys) sorted
       else sorted
         .option("parquet.bloom.filter.enabled#repo", "true")
         .option("parquet.bloom.filter.enabled#path", "true")
@@ -448,7 +461,7 @@ class LakeTable(val root: String, spark: SparkSession,
   def commit(batchId: String, offsets: Map[String, Long], schema: StructType,
       retain: Seq[FileEntry], added: Seq[FileEntry],
       lineage: Map[String, Long] = Map.empty, maxRetries: Int = 20,
-      baseVersion: Option[Long] = None): Long = {
+      baseVersion: Option[Long] = None, sticky: Boolean = false): Long = {
     // the caller's base: the snapshot `retain` was computed against.
     // Callers that read table state before building a commit MUST pass
     // the version they read (applier/compactor do) — deriving the base
@@ -464,7 +477,8 @@ class LakeTable(val root: String, spark: SparkSession,
     while (true) {
       val head = currentSnapshot
       head.foreach { h =>
-        if (h.applied.get(batchId).contains(fence)) return h.version // no-op replay
+        if (h.applied.get(batchId).contains(fence) ||
+          h.saved.get(batchId).contains(fence)) return h.version // no-op replay
       }
       // rebase the intent onto the head (a no-op when head == base):
       // keep everything live at the head except what THIS commit drops
@@ -490,15 +504,19 @@ class LakeTable(val root: String, spark: SparkSession,
         }
       val version = head.map(_.version + 1).getOrElse(0L)
       // sliding-window fence map: keep only the newest `appliedWindow`
-      // entries (older replays are caught by the offsets watermark)
+      // entries (older replays are caught by the offsets watermark);
+      // sticky fences go to the untrimmed `saved` map instead
       val applied: Map[String, String] =
-        (head.map(_.applied).getOrElse(scala.collection.immutable.ListMap.empty[String, String]) +
-          (batchId -> fence)).takeRight(appliedWindow)
+        (head.map(_.applied).getOrElse(scala.collection.immutable.ListMap.empty[String, String]) ++
+          (if (sticky) Map.empty else Map(batchId -> fence))).takeRight(appliedWindow)
+      val saved: Map[String, String] =
+        head.map(_.saved).getOrElse(Map.empty) ++
+          (if (sticky) Map(batchId -> fence) else Map.empty)
       val mergedOffsets = head.map(_.offsets).getOrElse(Map.empty) ++ offsets
       try {
         writeManifest(version, curSchema, curRetain ++ added, mergedOffsets, applied,
           lineage, batchId, head.map(_.renames).getOrElse(Map.empty),
-          prevChunks = head.map(_.chunkRefs).getOrElse(Nil))
+          prevChunks = head.map(_.chunkRefs).getOrElse(Nil), saved = saved)
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -628,6 +646,42 @@ class LakeTable(val root: String, spark: SparkSession,
           "rowsAfter" -> snap.dataFiles.map(_.rows).sum),
         baseVersion = Some(snap.version)))
     } finally { merged.unpersist(); () }
+  }
+
+  /** Maintenance POLICY: decides WHEN the maintenance jobs run, so a
+    * stream driver can call this every K micro-batches instead of
+    * hand-scheduling `consolidateDeletes` / `compact` (the reference ran
+    * its hygiene on every workflow — `clean_up.py:35-55`; Iceberg
+    * deployments cron `rewrite_data_files` the same way). Thresholds:
+    *
+    *  - delete-to-data ROW ratio ≥ `maxDeleteRatio` → MAJOR compaction
+    *    (folds every delete file into rewritten data, the read-side rent
+    *    reset);
+    *  - otherwise ≥ `maxDeleteFiles` delete files → MINOR consolidation
+    *    (merges them to one; bounds per-read delete-file opens);
+    *  - ≥ `maxSmallFiles` data files under `smallFileBytes` → small-file
+    *    compaction (bounds manifest size and merge read amplification).
+    *
+    * Each check re-reads the head (a prior action may have changed it);
+    * all jobs are race-safe against a concurrent applier via the commit
+    * rebase loop. Returns the versions committed (empty = healthy). */
+  def maintain(maxDeleteFiles: Int = 16, maxDeleteRatio: Double = 0.25,
+      smallFileBytes: Long = 8L << 20, maxSmallFiles: Int = 16): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    currentSnapshot.foreach { snap =>
+      val delRows = snap.deleteFiles.map(_.rows).sum
+      val dataRows = math.max(1L, snap.dataFiles.map(_.rows).sum)
+      if (snap.deleteFiles.nonEmpty && delRows.toDouble / dataRows >= maxDeleteRatio)
+        out ++= compact(minRows = 1L, minBytes = smallFileBytes)
+      else if (snap.deleteFiles.size >= maxDeleteFiles)
+        out ++= consolidateDeletes(minFiles = maxDeleteFiles)
+    }
+    currentSnapshot.foreach { snap =>
+      if (snap.deleteFiles.isEmpty && smallFileBytes > 0 &&
+        snap.dataFiles.count(f => f.bytes > 0 && f.bytes < smallFileBytes) >= maxSmallFiles)
+        out ++= compact(minRows = 1L, minBytes = smallFileBytes)
+    }
+    out.result()
   }
 
   /** Incremental change feed: rows whose winning `seq` is after
@@ -993,7 +1047,8 @@ class LakeTable(val root: String, spark: SparkSession,
         writeManifest(version, newSchema, snap.files, snap.offsets, snap.applied,
           Map("rename" -> 1L, "rowsAfter" ->
             snap.lineage.getOrElse("rowsAfter", snap.dataFiles.map(_.rows).sum)),
-          s"rename-$oldName-$newName", renames, prevChunks = snap.chunkRefs)
+          s"rename-$oldName-$newName", renames, prevChunks = snap.chunkRefs,
+          saved = snap.saved)
         return version
       } catch {
         case _: LakeTable.CommitRace =>
@@ -1080,7 +1135,8 @@ class LakeTable(val root: String, spark: SparkSession,
       offsets: Map[String, Long], applied: Map[String, String],
       lineage: Map[String, Long], batchId: String,
       renames: Map[String, String] = Map.empty,
-      prevChunks: Seq[ChunkRef] = Nil): Unit = {
+      prevChunks: Seq[ChunkRef] = Nil,
+      saved: Map[String, String] = Map.empty): Unit = {
     val byPath: Map[String, FileEntry] = files.map(f => f.path -> f).toMap
     val survivors = prevChunks.filter { c =>
       val es = readChunk(c.name)
@@ -1127,6 +1183,7 @@ class LakeTable(val root: String, spark: SparkSession,
     m.put("chunks", cl)
     m.put("offsets", offsets.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     m.put("applied", applied.asJava)
+    if (saved.nonEmpty) m.put("saved", saved.asJava)
     m.put("lineage", lineage.map { case (k, v) => k -> java.lang.Long.valueOf(v) }.asJava)
     if (renames.nonEmpty) m.put("renames", renames.asJava)
     val tmp = metaDir.resolve(s".v$version.json.tmp-${java.util.UUID.randomUUID()}")
@@ -1204,8 +1261,11 @@ class LakeTable(val root: String, spark: SparkSession,
     val renames = Option(m.get("renames"))
       .map(_.asInstanceOf[JMap[String, String]].asScala.toMap)
       .getOrElse(Map.empty[String, String])
+    val saved = Option(m.get("saved"))
+      .map(_.asInstanceOf[JMap[String, String]].asScala.toMap)
+      .getOrElse(Map.empty[String, String])
     Snapshot(version, schema, offsets, applied, lineage, batchId, renames,
-      chunkRefs, inline)
+      chunkRefs, inline, saved)
   }
 
   /** Lineage / metrics side-table (≙ the reference's PROFILER→ES roll-up,

@@ -46,11 +46,19 @@ object CdcStream {
   /** Start tailing `inputDir` (parquet change-event files) into `lake`.
     * `Trigger.AvailableNow` drains everything present then stops —
     * the batch-incremental cadence of the reference; a ProcessingTime
-    * trigger makes it a long-running tail. */
+    * trigger makes it a long-running tail.
+    *
+    * `maintainEvery > 0` runs [[LakeTable.maintain]] after every K-th
+    * micro-batch — the scheduling hook that keeps a long-running
+    * merge-on-read tail healthy (bounded delete-file count, bounded
+    * small files) without an external cron. Maintenance runs AFTER the
+    * batch's commit, so a crash between them loses only hygiene, never
+    * data; the policy's jobs rebase against concurrent commits. */
   def start(spark: SparkSession, inputDir: String, lake: LakeTable,
       checkpointDir: String, maxFilesPerTrigger: Int = 500,
       trigger: Trigger = Trigger.AvailableNow(),
-      mergeOnRead: Boolean = false): StreamingQuery = {
+      mergeOnRead: Boolean = false, maintainEvery: Int = 0,
+      maintain: LakeTable => Seq[Long] = _.maintain()): StreamingQuery = {
     val applier = new CdcApplier(lake, spark, mergeOnRead = mergeOnRead)
     spark.readStream
       .schema(eventSchema)
@@ -61,7 +69,10 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applier.applyBatch(batch, s"stream-$id"): Unit
+        applier.applyBatch(batch, s"stream-$id")
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          maintain(lake)
+        ()
       }
       .start()
   }
@@ -74,16 +85,20 @@ object CdcStream {
     * commit. The `binaryFile` source preserves whole-file blob semantics
     * (a `text` source would split on newlines mid-document);
     * `maxFilesPerTrigger` is the 500-file batch cap (O2). Exactly-once
-    * is the engine's own fences, as in [[start]]; quarantined rows
-    * append to `quarantineDir` per batch (the dirty-bucket analog,
-    * written inside `foreachBatch` so a replayed batch re-deriving them
-    * is append-idempotent only at the table layer — downstream dirty
-    * consumers dedup on event_id). */
+    * is the engine's own fences, as in [[start]]; quarantined rows are
+    * written to `quarantineDir` as a GRAFT TABLE through the
+    * transactional sink with the micro-batch id as the commit fence —
+    * a replayed micro-batch re-deriving the same dirty rows is a
+    * metadata no-op on the dirty side too (streaming replays are always
+    * the most recent batch, well inside the applied window). Read it
+    * back with `spark.read.format("graft").load(quarantineDir)`.
+    * `maintainEvery`: as in [[start]]. */
   def startWire(spark: SparkSession, blobDir: String, lake: LakeTable,
       checkpointDir: String, quarantineDir: Option[String] = None,
       maxFilesPerTrigger: Int = 500,
       trigger: Trigger = Trigger.AvailableNow(),
-      mergeOnRead: Boolean = false): StreamingQuery = {
+      mergeOnRead: Boolean = false, maintainEvery: Int = 0,
+      maintain: LakeTable => Seq[Long] = _.maintain()): StreamingQuery = {
     import org.apache.spark.sql.functions._
     // binaryFile's schema is FIXED by the source, but the streaming API
     // still requires it stated explicitly (no inference on streams)
@@ -107,7 +122,10 @@ object CdcStream {
         val blobs = batch.select(col("content").cast("string")).as[String]
         val (_, dirty) = graft.CdcPipeline.processBlobs(spark, blobs, lake,
           s"wire-$id", mergeOnRead = mergeOnRead)
-        quarantineDir.foreach(d => dirty.write.mode("append").parquet(d))
+        quarantineDir.foreach(d => dirty.write.format("graft").mode("append")
+          .option("batchId", s"wire-dirty-$id").save(d))
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          maintain(lake)
         ()
       }
       .start()

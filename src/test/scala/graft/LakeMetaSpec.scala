@@ -52,6 +52,22 @@ class LakeMetaSpec extends AnyFunSuite {
     assert(lake.currentSnapshot.get.version == 99L)
   }
 
+  test("sticky batch fence survives beyond the applied window") {
+    val lake = new LakeTable(TestSpark.tmpDir("lakesticky"), spark, appliedWindow = 2)
+    val df = Seq(("r1", "p1", 1L)).toDF("repo", "path", "seq")
+    val f = lake.writeDataFiles(df, "st")
+    lake.commit("sticky-0", Map.empty, df.schema, Nil, f, sticky = true)
+    // 5 > window intervening commits evict non-sticky fences
+    (0 until 5).foreach(i => lake.commit(s"w$i", Map("p0" -> i.toLong), schema, Nil, Nil))
+    assert(!lake.currentSnapshot.get.applied.contains("sticky-0"))
+    assert(lake.currentSnapshot.get.saved.get("sticky-0").contains(""))
+    val vBefore = lake.currentVersion.get
+    // late replay: must be a metadata no-op (an offsets-less save has no
+    // watermark backstop — the sticky map is its only fence)
+    assert(lake.commit("sticky-0", Map.empty, schema, Nil, f, sticky = true) == vBefore)
+    assert(lake.currentVersion.get == vBefore)
+  }
+
   test("lineage side-table mirrors per-commit counters and batch ids") {
     val lake = new LakeTable(TestSpark.tmpDir("lakelin"), spark)
     val applier = new CdcApplier(lake, spark)

@@ -127,10 +127,70 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .select($"repo", $"path", $"commit", sha2($"content", 256))
       .collect().map(_.toSeq).toSet
     assert(state(lakeS) == state(lakeB) && state(lakeS).nonEmpty)
-    // every dirty row (wrong source / corrupt slices) landed in quarantine
+    // every dirty row (wrong source / corrupt slices) landed in the
+    // quarantine TABLE (the graft sink, not bare parquet appends)
     val dirtyN = dirtyB.count()
     assert(dirtyN > 0)
-    assert(spark.read.parquet(qDir).count() == dirtyN)
+    def dirtyCount = spark.read.format("graft").load(qDir).count()
+    assert(dirtyCount == dirtyN)
+    // FULL REPLAY from a fresh checkpoint: the file source re-delivers
+    // identical micro-batches with identical ids — the table fences make
+    // it a no-op AND the dirty side must not double (its saves are
+    // fenced on the micro-batch id, the round-4 gap)
+    val tableBefore = state(lakeS)
+    val q2 = CdcStream.startWire(spark, inDir, lakeS, TestSpark.tmpDir("wire-ck2"),
+      quarantineDir = Some(qDir), maxFilesPerTrigger = 7)
+    awaitAndStop(q2)
+    assert(state(lakeS) == tableBefore, "replayed drain must not change the table")
+    assert(dirtyCount == dirtyN, "replayed drain must not double the quarantine")
+  }
+
+  test("maintenance policy bounds delete files during a long merge-on-read drain") {
+    import scala.jdk.CollectionConverters._
+    val n = 2700L
+    val waves = 9
+    val inDir = TestSpark.tmpDir("maint-in")
+    val lake = new LakeTable(TestSpark.tmpDir("maint-lake"), spark)
+    // one file per wave with increasing mtimes: the file source batches
+    // in (mtime, path) order, preserving the binlog delivery contract
+    // across the 9 single-file micro-batches
+    var known = Set.empty[String]
+    val per = n / waves
+    (0 until waves).foreach { b =>
+      canonical(n, b * per, if (b == waves - 1) n else (b + 1) * per)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
+      val fresh = try ls.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && !known.contains(p.toString))
+        .toSeq finally ls.close()
+      fresh.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 1000L)))
+      known ++= fresh.map(_.toString)
+    }
+    // long MoR drain with NO explicit maintenance call — the policy hook
+    // must keep the delete-file count bounded on its own
+    val q = CdcStream.start(spark, inDir, lake, TestSpark.tmpDir("maint-ck"),
+      maxFilesPerTrigger = 1, mergeOnRead = true, maintainEvery = 2,
+      maintain = _.maintain(maxDeleteFiles = 2, maxDeleteRatio = 0.9,
+        smallFileBytes = 0))
+    awaitAndStop(q)
+    val delFiles = lake.currentSnapshot.get.deleteFiles.size
+    assert(delFiles <= 3,
+      s"policy must bound delete files (unmaintained drain leaves ~${waves - 1}), got $delFiles")
+    assert(lake.versions.map(v => lake.snapshot(v).batchId)
+      .exists(b => b.startsWith("consolidate-deletes-") || b.startsWith("compact-")),
+      "the policy must actually have committed maintenance")
+    // and maintenance is pure: final state still equals the LWW oracle
+    val oracle = canonical(n, 0, n)
+      .groupBy($"repo", $"path")
+      .agg(max_by(struct($"op", $"commit", $"content", $"seq"), struct($"seq", $"commit")).as("r"))
+      .filter($"r.op" =!= "DELETE")
+      .select($"repo", $"path", $"r.commit".as("commit"), sha2($"r.content", 256).as("sha"))
+      .collect().map(_.toSeq).toSet
+    val got = lake.read()
+      .select($"repo", $"path", $"commit", sha2($"content", 256).as("sha"))
+      .collect().map(_.toSeq).toSet
+    assert(got == oracle)
   }
 
   test("stateful LWW change feed emits only net-new winners across restarts") {
