@@ -315,7 +315,42 @@ object EngineE2E {
         sha2(col("after.content"), 256).as("after_sha"))
   }
 
+  /** q45 — the SQL MERGE face under the oracle gate
+    * ([[graft.sources.GraftMergeRelation]]): a merge temp view over a
+    * fresh lake, two `INSERT INTO … SELECT` batches routed through the
+    * full CDC apply (fence → LWW merge → commit), read back THROUGH the
+    * view (scan-time head resolution sees the second insert). SQL
+    * inserts carry no `op`, so every event is an upsert — the oracle is
+    * plain last-writer-wins with no delete filter. */
+  def q45SqlMergeFace(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val changes = asChanges(ev)
+    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cut = maxSeq / 2
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-sqlmerge-lake").toString
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_merge_face
+         |USING graft OPTIONS (path '$lakeDir', merge 'true', mergeOnRead 'true')"""
+        .stripMargin)
+    changes.createOrReplaceTempView("graft_merge_face_src")
+    spark.sql("INSERT INTO graft_merge_face SELECT repo, path, commit, lang, " +
+      s"content, seq FROM graft_merge_face_src WHERE seq <= $cut")
+    spark.sql("INSERT INTO graft_merge_face SELECT repo, path, commit, lang, " +
+      s"content, seq FROM graft_merge_face_src WHERE seq > $cut")
+    val out = spark.sql("SELECT repo, path, commit, lang, " +
+      "sha2(content, 256) AS content_sha, seq FROM graft_merge_face")
+      .localCheckpoint(true)
+    spark.sql("DROP VIEW graft_merge_face")
+    spark.sql("DROP VIEW graft_merge_face_src")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(lakeDir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_sql_merge_face" -> q45SqlMergeFace _,
     "q40_sql_source_mor" -> q40SqlSourceMor _,
     "q41_sql_source_pruned" -> q41SqlSourcePruned _,
     "q44_change_feed" -> q44ChangeFeed _,
@@ -329,6 +364,17 @@ object EngineE2E {
     "q35_point_lookup" -> q35PointLookup _)
 
   val oracles: Map[String, String] = Map(
+    "q45_sql_merge_face" ->
+      """SELECT repo, path, commit, lang, content_sha, seq FROM (
+        | SELECT concat('r', user_id % 37) AS repo,
+        |        concat('p', user_id) AS path,
+        |        md5(concat('c', event_id)) AS commit,
+        |        event_type AS lang,
+        |        sha256(props) AS content_sha,
+        |        event_id AS seq,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q40_sql_source_mor" ->
       """SELECT repo, path, commit, lang, content_sha, seq FROM (
         | SELECT concat('r', user_id % 37) AS repo,

@@ -106,7 +106,16 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     *  - `option("batchId", id)` makes the save IDEMPOTENT: a retried
     *    save with the same batchId is a metadata no-op via the
     *    applied-batch fence — Spark task retries already cannot double
-    *    (the stage dir is overwritten, the commit is single);
+    *    (the stage dir is overwritten, the commit is single). The fence
+    *    window is the table's `appliedWindow` (default 128) commits:
+    *    unlike applier batches, saves carry no offsets-watermark
+    *    backstop, so a save retried after MORE than that many
+    *    intervening commits would re-append. Streaming replays are
+    *    always the most recent batch (well inside the window); a job
+    *    whose retries can arrive arbitrarily late adds
+    *    `option("stickyBatchId", "true")` to persist its fence in the
+    *    manifest's untrimmed `saved` map instead — growth is
+    *    O(sticky saves), the caller's explicit trade;
     *  - `Append` unions schemas by name (additive evolution: old files
     *    resolve missing columns as null at read); `Overwrite` replaces
     *    files AND schema.
@@ -137,17 +146,19 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         if (keyed) data.repartitionByRange(col("repo"), col("path")) else data
       val batchId = ci.getOrElse("batchid",
         s"save-${java.util.UUID.randomUUID().toString.take(12)}")
+      val sticky = ci.get("stickybatchid").exists(_.toBoolean)
       // idempotence pre-check mirrors commit's fence (offsets are empty
       // for a save, so the fence is the batchId alone) — skip the WRITE,
       // not just the commit, on replay
-      val replayed = head.exists(_.applied.get(batchId).contains(""))
+      val replayed = head.exists(h => h.applied.get(batchId).contains("") ||
+        h.saved.get(batchId).contains(""))
       if (!replayed) {
         val added = lake.writeDataFiles(clustered, batchId)
         mode match {
           case SaveMode.Overwrite =>
             lake.commit(batchId, Map.empty, data.schema, Nil, added,
               Map("rowsAfter" -> added.map(_.rows).sum),
-              baseVersion = head.map(_.version))
+              baseVersion = head.map(_.version), sticky = sticky)
           case _ =>
             val schema = head.map(h => LakeTable.unionSchemas(h.schema, data.schema))
               .getOrElse(data.schema)
@@ -155,7 +166,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
             lake.commit(batchId, Map.empty, schema, retain, added,
               Map("rowsAfter" ->
                 (retain.filter(_.kind == "data") ++ added).map(_.rows).sum),
-              baseVersion = head.map(_.version))
+              baseVersion = head.map(_.version), sticky = sticky)
         }
         ()
       }
@@ -169,6 +180,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val path = ci.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
     val spark = sqlContext.sparkSession
+    if (ci.get("merge").exists(_.toBoolean))
+      return new GraftMergeRelation(spark, path,
+        mergeOnRead = ci.get("mergeonread").exists(_.toBoolean))
     val lake = new LakeTable(path, spark)
     val version = ci.get("versionasof").map(_.toLong)
     val snap = version.map(lake.snapshot).orElse(lake.currentSnapshot)
@@ -281,6 +295,62 @@ class GraftResolvingRelation(spark: SparkSession, lake: LakeTable,
 
   private def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+}
+
+/** The SQL MERGE face (the reference's Athena-over-Glue-catalog hand-off
+  * surface, `deployments/main.tf:101-132`, writable):
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW t
+  *   USING graft OPTIONS (path '<root>', merge 'true'[, mergeOnRead 'true'])
+  *   INSERT INTO t SELECT repo, path, commit, lang, content, seq FROM src
+  * }}}
+  *
+  * `INSERT INTO` routes the rows through the full CDC apply
+  * ([[graft.apply.CdcApplier.applyBatch]]): offsets fence → LWW MERGE →
+  * atomic snapshot commit — `MERGE INTO`-shaped upsert semantics from
+  * plain SQL, not a file append. Rows arrive under the VIEW's schema
+  * (positional SQL INSERT), so they carry no `op`/`part` columns: every
+  * row is an UPSERT on source partition `"sql"` (stale seqs lose the LWW
+  * merge exactly like any other stale change; deletions need the applier
+  * API or the wire pipeline, which carry `op`). `INSERT OVERWRITE` is
+  * refused — the plain sink's Overwrite mode is the truncating path.
+  *
+  * READS through the view resolve the head snapshot AT SCAN TIME (not
+  * view creation), so `INSERT INTO t; SELECT … FROM t` observes its own
+  * writes — the session-catalog behavior a SQL user expects. The view's
+  * COLUMN SET is pinned at creation (the standard temp-view contract);
+  * recreate the view to pick up promoted columns. */
+class GraftMergeRelation(spark: SparkSession, root: String,
+    mergeOnRead: Boolean) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = new LakeTable(root, spark)
+    .currentSnapshot.map(_.schema).getOrElse(graft.core.Model.lakeSchemaV1)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val lake = new LakeTable(root, spark)
+    new GraftResolvingRelation(spark, lake, lake.currentVersion)
+      .buildScan(requiredColumns, filters)
+  }
+
+  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) throw new UnsupportedOperationException(
+      "INSERT OVERWRITE into a graft merge view is not supported; " +
+        "use df.write.format(\"graft\").mode(\"overwrite\") to replace the table")
+    val lake = new LakeTable(root, spark)
+    val withMeta = Seq("op" -> lit(graft.core.Model.Op.Update),
+      "part" -> lit("sql")).foldLeft(data) {
+      case (df, (c, v)) => if (df.columns.contains(c)) df else df.withColumn(c, v)
+    }
+    new graft.apply.CdcApplier(lake, spark, mergeOnRead = mergeOnRead)
+      .applyBatch(withMeta,
+        s"sql-insert-${java.util.UUID.randomUUID().toString.take(12)}")
+    ()
+  }
 }
 
 /** File pruning from query predicates against manifest stats — sound

@@ -212,6 +212,14 @@ class GraftSourceSpec extends AnyFunSuite {
     }
     c.write.format("graft").mode("ignore").save(root)
     assert(readGraft(root).count() == 2)
+    // sticky fence: persisted in the manifest's untrimmed saved map
+    val d = Seq(("r6", "p6", 6L)).toDF("repo", "path", "seq")
+    d.write.format("graft").mode("append").option("batchId", "job-8")
+      .option("stickyBatchId", "true").save(root)
+    d.write.format("graft").mode("append").option("batchId", "job-8")
+      .option("stickyBatchId", "true").save(root)
+    assert(readGraft(root).count() == 3)
+    assert(new LakeTable(root, spark).currentSnapshot.get.saved.contains("job-8"))
   }
 
   private def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -389,6 +397,40 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(!expected.exists(_._3 == "insert") ||
       expected.size < lake.read().count(),
       "baseline drain must not re-deliver the whole table")
+  }
+
+  test("SQL merge face: INSERT INTO a merge view performs a CDC upsert, state equals the applier's") {
+    val root = TestSpark.tmpDir("srcmerge")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW merge_t
+         |USING graft OPTIONS (path '$root', merge 'true', mergeOnRead 'true')"""
+        .stripMargin)
+    val ev = canonical(1200, 31L)
+      .filter($"op" =!= "DELETE")
+      .select($"repo", $"path", $"commit", $"lang", $"content", $"seq")
+    val mx = ev.agg(max($"seq")).head().getLong(0)
+    ev.createOrReplaceTempView("merge_src")
+    spark.sql(s"INSERT INTO merge_t SELECT * FROM merge_src WHERE seq <= ${mx / 2}")
+    spark.sql(s"INSERT INTO merge_t SELECT * FROM merge_src WHERE seq > ${mx / 2}")
+    // reference: the same two batches through the applier API
+    val refLake = new LakeTable(TestSpark.tmpDir("srcmerge-ref"), spark)
+    val refApp = new CdcApplier(refLake, spark, mergeOnRead = true)
+    val withMeta = ev.withColumn("op", lit("UPDATE")).withColumn("part", lit("sql"))
+    refApp.applyBatch(withMeta.filter($"seq" <= mx / 2), "ref-0")
+    refApp.applyBatch(withMeta.filter($"seq" > mx / 2), "ref-1")
+    // the view observes its own writes (scan-time head resolution)
+    val viaView = spark.sql("SELECT repo, path, commit, lang, seq FROM merge_t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaView == sortedRows(refLake.read()))
+    assert(viaView.nonEmpty)
+    // a second LWW wave through SQL overrides: stale rows never resurface
+    assert(new LakeTable(root, spark).read().count() == refLake.read().count())
+    // INSERT OVERWRITE is refused
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE merge_t SELECT * FROM merge_src")
+    }
+    spark.sql("DROP VIEW merge_t")
+    spark.sql("DROP VIEW merge_src")
   }
 
   test("empty table root yields an empty relation under the engine schema") {
