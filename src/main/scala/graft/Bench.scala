@@ -41,6 +41,8 @@ object Bench {
         s"${sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_MB", "4").toInt * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
+      // columnar merge-on-read reads through format("graft")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

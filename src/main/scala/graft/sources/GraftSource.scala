@@ -268,6 +268,14 @@ class GraftResolvingRelation(spark: SparkSession, lake: LakeTable,
 
   private val snap = version.map(lake.snapshot)
 
+  /** The engine's Catalyst plan for this snapshot (delete resolution +
+    * rename coalesce over manifest-backed scans) — what
+    * [[GraftResolveMorRule]] substitutes for this relation when the
+    * session runs with [[GraftExtensions]], keeping the whole read
+    * columnar. None for an uninitialised table. */
+  private[sources] def resolvedPlan: Option[org.apache.spark.sql.DataFrame] =
+    version.map(v => lake.read(Some(v)))
+
   override def sqlContext: SQLContext = spark.sqlContext
 
   override def schema: StructType =

@@ -59,6 +59,8 @@ class GraftSourceSpec extends AnyFunSuite {
     df.collect() // force execution so adaptive plans are final
     def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // AQE stage subtrees are NOT in .children — descend explicitly
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
       case s: FileSourceScanExec => Seq(s)
       case other => other.children.flatMap(walk) ++
         other.subqueries.flatMap(walk)
@@ -114,7 +116,7 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(scan.requiredSchema.fieldNames.toSet == Set("repo", "seq"))
   }
 
-  test("merge-on-read snapshot takes the resolving path and matches; compaction rebinds the fast path") {
+  test("merge-on-read snapshot plans a COLUMNAR scan (extension rule) and matches; compaction keeps the fast path") {
     val lake = new LakeTable(TestSpark.tmpDir("srcmor"), spark)
     val applier = new CdcApplier(lake, spark, mergeOnRead = true)
     val ev = canonical(3000, 13L)
@@ -122,15 +124,32 @@ class GraftSourceSpec extends AnyFunSuite {
     applier.applyBatch(ev.filter($"seq" <= mx / 2), "mor-0")
     applier.applyBatch(ev.filter($"seq" > mx / 2), "mor-1")
     assert(lake.currentSnapshot.get.deleteFiles.nonEmpty, "MoR replay must leave delete files")
+    // with GraftExtensions installed (TestSpark session), the resolving
+    // relation is substituted during analysis by the engine's Catalyst
+    // plan: vectorized parquet scans + the delete-resolution join — no
+    // RDD[Row] bridge node anywhere in the executed plan
     val viaSource = readGraft(lake.root)
-    assert(scans(viaSource).isEmpty,
-      "live delete files must route through the resolving relation")
+    assert(scans(viaSource).nonEmpty,
+      "MoR read must plan columnar parquet scans under the extension rule")
+    def rddScans(df: DataFrame): Seq[SparkPlan] = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case s: org.apache.spark.sql.execution.RDDScanExec => Seq(s)
+        case other => other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    assert(rddScans(readGraft(lake.root)).isEmpty,
+      "no V1 row-bridge node may remain in the MoR read plan")
     assert(sortedRows(viaSource) == sortedRows(lake.read()))
-    // filters still correct through the resolving path
+    // filters still correct (and pushed into the substituted plan)
     val repo = lake.read().select($"repo").head().getString(0)
     assert(sortedRows(readGraft(lake.root).filter($"repo" === repo)) ==
       sortedRows(lake.read().filter($"repo" === repo)))
-    // major compaction folds the deletes → a FRESH relation binds fast again
+    // major compaction folds the deletes → a FRESH relation binds the
+    // plain bound path again (no join above the scan)
     lake.compact(minRows = Long.MaxValue)
     val after = readGraft(lake.root)
     assert(scans(after).nonEmpty, "compacted snapshot must rebind to the file scan")
@@ -150,8 +169,8 @@ class GraftSourceSpec extends AnyFunSuite {
     applier.applyBatch(canonical(1500, 17L), "ren-0")
     lake.renameColumn("lang", "language")
     val viaSource = readGraft(lake.root)
-    assert(scans(viaSource.select($"language")).isEmpty,
-      "active rename mapping must route through the resolving relation")
+    assert(scans(viaSource.select($"language")).nonEmpty,
+      "renamed snapshot must still plan columnar scans under the extension rule")
     assert(viaSource.columns.contains("language") && !viaSource.columns.contains("lang"))
     assert(viaSource.filter($"language".isNotNull).count() ==
       lake.read().filter($"language".isNotNull).count())

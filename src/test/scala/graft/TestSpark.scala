@@ -15,6 +15,10 @@ object TestSpark {
       // tests drain in seconds, so defer maintenance past their lifetime
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "10m")
       .config("spark.sql.session.timeZone", "UTC")
+      // the optional Catalyst rule (columnar MoR through format("graft"))
+      // runs in every suite; the V1 fallback path keeps its own coverage
+      // via GraftPruning/relation unit assertions
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
