@@ -14,6 +14,13 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  // q17's registered query serves a cross-query localCheckpoint cache
+  // (shared with q36), which collapses to an ExistingRDD scan — pin the
+  // UNCACHED pipeline's plan instead
+  private def q17plan: String =
+    graft.queries.TrainingData.q17PairsUncached(spark, dir)
+      .queryExecution.executedPlan.toString
+
   test("q02: predicate pushdown + column pruning reach the scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
@@ -45,19 +52,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q17: LSH candidate join is an equi-join, never a cartesian") {
-    val p = plan("q17_minhash_lsh")
+    val p = q17plan
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH must bucket-join, got:\n$p")
   }
 
   test("q17: signature aggregation is a hash aggregate with map-side combine") {
-    val p = plan("q17_minhash_lsh")
+    val p = q17plan
     assert(p.contains("HashAggregate"), s"expected hash aggregate in:\n$p")
     assert(p.contains("partial_min"), s"expected map-side partial minima in:\n$p")
   }
 
   test("q17: verify stage shingles only candidates (left-semi), signature exchange reused") {
-    val p = plan("q17_minhash_lsh")
+    val p = q17plan
     assert(p.contains("LeftSemi"),
       s"verify must semi-join to surviving candidates before shingling:\n$p")
   }
