@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/segmentation operators Spark's built-in API lacks,
+  * shaped for the 100 TB regime:
+  *
+  *  - **as-of join** — each left row picks the LATEST right row with
+  *    `rightTime <= leftTime` for its key (point-in-time enrichment:
+  *    "the dimension state this event saw"). Spark has no ASOF JOIN;
+  *    the naive rewrite (inequality join + per-key argmax) explodes to
+  *    O(left × right-per-key) pairs before collapsing. This one is the
+  *    union-sort formulation: tag both sides, ONE hash exchange on the
+  *    key, one sort per partition, and a running last-non-null carry —
+  *    O((|L|+|R|) log) with zero join blow-up, the same shape kdb's aj
+  *    and Flink's temporal join execute.
+  *  - **range join** — point-in-interval pairing without a cartesian:
+  *    intervals explode to the fixed-width time bins they cover, points
+  *    map to exactly one bin, and the pairing becomes a bin equi-join +
+  *    containment filter. Each qualifying pair is emitted exactly once
+  *    (the point's bin), so no post-dedup pass. Candidate volume is
+  *    O(pairs actually overlapping ± bin slack) instead of |P|·|I|;
+  *    bin width is the cost knob (≈ typical interval length keeps the
+  *    explode factor ≤ 2).
+  *  - **sessionize** — gaps-and-islands segmentation (events closer
+  *    than `gapMicros` share a session). One exchange + sort per key;
+  *    the break flag and its running sum share the same window spec, so
+  *    Catalyst plans a single shuffle.
+  *
+  * Determinism discipline: all time arithmetic is in epoch MICROSECONDS
+  * (`unix_micros`), exact integers in any engine — the q46–q48 oracle
+  * gates hash-compare against DuckDB.
+  */
+object Temporal {
+
+  /** Epoch micros of a timestamp column; accepts TIMESTAMP_NTZ too
+    * (parquet without tz metadata) — under a UTC session the cast is the
+    * identity interpretation, keeping the math engine-portable. */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** As-of (point-in-time) left join.
+    *
+    * For every `left` row, attach `payload` columns (prefixed
+    * `asof_`) from the `right` row with the greatest
+    * `(rightTime, tieBreak)` such that `rightTime <= leftTime` and
+    * `rightKey == leftKey`; rows with no such match keep null payloads.
+    * `tieBreak` must be unique within a `(rightKey, rightTime)` group —
+    * dedupe the right side first if it is not (q46 collapses ties with
+    * `max_by` before calling).
+    *
+    * Plan shape: union of the tagged sides → one exchange on the key →
+    * one sort by `(time, side, tieBreak)` → running `last(_, ignoreNulls)`
+    * carry. Right rows sort BEFORE left rows at equal times, so the
+    * match is inclusive (`rightTime == leftTime` wins). Hot keys cannot
+    * be salted (the carry needs the key's full history in order) — at
+    * skew, split by time range per key upstream. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      tieBreak: String, payload: Seq[String]): DataFrame = {
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"), lit(null).cast(right.schema(tieBreak).dataType).as("__tie"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        payload.map(p => right.schema(p)))).as("__r"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"), col(tieBreak).as("__tie"),
+      struct(payload.map(col): _*).as("__r"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("__l"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__carry", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    carried.select(
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        payload.map(p => col(s"__carry.$p").as(s"asof_$p")): _*)
+  }
+
+  /** Point-in-interval range join: every (`points` row, `intervals` row)
+    * pair with `startCol <= pointTime <= endCol` (inclusive both ends),
+    * carrying all columns of both sides. Intervals with `end < start`
+    * match nothing. `binSeconds` buckets time; an interval explodes into
+    * `length/binSeconds + 1` bin rows, a point lands in exactly one bin,
+    * so each qualifying pair meets exactly once and the join is a plain
+    * bin equi-join — never a cartesian. Pick `binSeconds` near the
+    * typical interval length. */
+  def rangeJoinBinned(points: DataFrame, pointTime: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    val iv = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bin", explode(sequence(
+        floor(micros(col(startCol)) / binMicros),
+        floor(micros(col(endCol)) / binMicros))))
+    val pt = points.withColumn("__bin",
+      floor(micros(col(pointTime)) / binMicros))
+    pt.join(iv, Seq("__bin"))
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** Gaps-and-islands sessionization: adds `session_seq` (1-based per
+    * key, in `(timeCol, orderCol)` order) — a new session starts when
+    * the gap to the previous event exceeds `gapMicros`. `orderCol`
+    * breaks time ties deterministically (use a unique event id). */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String,
+      orderCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(orderCol).asc)
+    val prev = lag(micros(col(timeCol)), 1).over(w)
+    df.withColumn("__brk",
+        when(prev.isNull || micros(col(timeCol)) - prev > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+}

@@ -263,6 +263,66 @@ object Relational {
         (acc, x) => acc + round(x * 100).cast("long")).as("total_cents"))
   }
 
+  /** q46 — AS-OF JOIN: each event picks the user's latest order at or
+    * before the event time (point-in-time dimension state — the lookup
+    * a training pipeline does against a CDC-maintained table). Spark
+    * has no ASOF JOIN; [[graft.ops.Temporal.asofJoin]] is the
+    * union-sort formulation: one exchange, no pair blow-up. Ties on
+    * (custkey, orderdate) are collapsed with max_by(orderkey) first so
+    * the as-of winner is well-defined in both engines. */
+  def q46AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val orders = t(dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max_by(struct($"o_orderkey", $"o_totalprice"), $"o_orderkey").as("w"))
+      .select($"o_custkey", $"o_orderdate",
+        $"w.o_orderkey".as("o_orderkey"), $"w.o_totalprice".as("o_totalprice"))
+    graft.ops.Temporal.asofJoin(
+        t(dir, "events").select($"event_id", $"user_id", $"ts"), orders,
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"user_id",
+        $"asof_o_orderkey".as("asof_orderkey"),
+        cents($"asof_o_totalprice").as("asof_price_cents"))
+  }
+
+  /** q47 — RANGE JOIN: order dates (points) against lineitem ship
+    * windows [l_shipdate, l_shipdate + l_linenumber days] (intervals),
+    * aggregated per order. The naive SQL form is an inequality join
+    * Spark plans as a broadcast-nested-loop / cartesian;
+    * [[graft.ops.Temporal.rangeJoinBinned]] makes it a bin equi-join
+    * (7-day bins ≈ the max interval length → ≤ 2 bin rows per
+    * interval). */
+  def q47RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val points = t(dir, "orders").select($"o_orderkey", $"o_orderdate")
+    val iv = t(dir, "lineitem")
+      .select($"l_quantity", $"l_shipdate",
+        ($"l_shipdate" + expr("make_dt_interval(l_linenumber)")).as("l_shipend"))
+    graft.ops.Temporal.rangeJoinBinned(points, "o_orderdate",
+        iv, "l_shipdate", "l_shipend", binSeconds = 7L * 86400)
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_open"),
+        sum($"l_quantity").cast("long").as("qty_sum"))
+  }
+
+  /** q48 — SESSIONIZATION: gaps-and-islands over the event stream
+    * (8-hour inactivity gap), rolled up per (user, session). All time
+    * math in epoch micros — exact integers in both engines. */
+  def q48Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    graft.ops.Temporal.sessionize(t(dir, "events"), "user_id", "ts",
+        "event_id", gapMicros = 8L * 3600 * 1000000)
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros($"ts".cast("timestamp"))) -
+          min(unix_micros($"ts".cast("timestamp")))).as("duration_us"),
+        min(unix_micros($"ts".cast("timestamp"))).as("start_us"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_log_parse" -> q23LogParse _,
     "q24_lookup_enrich" -> q24LookupEnrich _,
@@ -277,6 +337,9 @@ object Relational {
     "q08_anti_join" -> q08AntiJoin _,
     "q09_validate_route" -> q09ValidateRoute _,
     "q10_scalar_functions" -> q10ScalarFunctions _,
+    "q46_asof_join" -> q46AsofJoin _,
+    "q47_range_join" -> q47RangeJoin _,
+    "q48_sessionize" -> q48Sessionize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -387,5 +450,42 @@ object Relational {
         | CAST(contains(props, '9') AS INT) AS has_nine,
         | CAST(round(value*100) AS BIGINT) AS v_cents
         |FROM events""".stripMargin,
+    "q46_asof_join" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderdate,
+        |        arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+        |        arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       o.o_orderkey AS asof_orderkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS asof_price_cents
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q47_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_open,
+        |       CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+        |FROM orders o JOIN lineitem l
+        |  ON o.o_orderdate >= l.l_shipdate
+        | AND o.o_orderdate <= l.l_shipdate + l.l_linenumber * INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
+    "q48_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+        |        THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts,
+        |   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS session_seq
+        | FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+        |       min(epoch_us(ts)) AS start_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
   )
 }

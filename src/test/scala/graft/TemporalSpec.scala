@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+/** Temporal operators: as-of join, binned range join, sessionization —
+  * crafted edge cases, brute-force equivalence, and plan-shape pins
+  * (no cartesian, single exchange where claimed). */
+class TemporalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // left: events for three keys; right: versioned dim rows
+  private lazy val left = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")), // between v1 and v2
+    (2L, 10L, ts("2024-01-01 12:00:00")), // exactly at v2 (inclusive)
+    (3L, 10L, ts("2024-01-02 00:00:00")), // after v2
+    (4L, 20L, ts("2024-01-01 00:00:00")), // before any right row
+    (5L, 30L, ts("2024-01-01 09:00:00"))  // key absent from right
+  ).toDF("event_id", "k", "t")
+
+  private lazy val right = Seq(
+    (10L, ts("2024-01-01 08:00:00"), 100L, "v1"),
+    (10L, ts("2024-01-01 12:00:00"), 101L, "v2"),
+    (10L, ts("2024-01-01 12:00:00"), 102L, "v2-tie"), // tie: max tieBreak wins
+    (20L, ts("2024-01-01 06:00:00"), 200L, "late")
+  ).toDF("rk", "rt", "ver", "tag")
+
+  test("asofJoin: latest-at-or-before semantics, inclusive ties, left-join nulls") {
+    val out = Temporal.asofJoin(left, right, "k", "rk", "t", "rt",
+        "ver", Seq("ver", "tag"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+      .toMap
+    assert(out(1L) == (Some(100L), Some("v1")))      // v2 is in the future
+    assert(out(2L) == (Some(102L), Some("v2-tie")))  // inclusive + max tieBreak
+    assert(out(3L) == (Some(102L), Some("v2-tie")))
+    assert(out(4L) == (None, None))                  // nothing at-or-before
+    assert(out(5L) == (None, None))                  // key never in right
+  }
+
+  test("asofJoin ≡ brute-force argmax over the inequality join") {
+    // deterministic pseudo-random mix: 200 left × 120 right over 6 keys
+    val l = spark.range(200).select(col("id").as("event_id"),
+      (col("id") % 6).as("k"),
+      timestamp_micros(col("id") * 7919999L % 86400000000L).as("t"))
+    val r = spark.range(120).select((col("id") % 6).as("rk"),
+      timestamp_micros(col("id") * 13177777L % 86400000000L).as("rt"),
+      col("id").as("ver"), concat(lit("g"), col("id")).as("tag"))
+    val fast = Temporal.asofJoin(l, r, "k", "rk", "t", "rt", "ver",
+        Seq("ver", "tag"))
+      .select("event_id", "asof_ver", "asof_tag")
+    val brute = l.join(r, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("event_id").orderBy(col("rt").desc, col("ver").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("ver").as("asof_ver"), col("tag").as("asof_tag"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+    assert(fast.count() == 200)
+  }
+
+  test("asofJoin plans one exchange and no join operator") {
+    val p = Temporal.asofJoin(left, right, "k", "rk", "t", "rt", "ver",
+      Seq("ver")).queryExecution.executedPlan
+    def nodes(n: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val kids = n.children ++ (n match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => Seq.empty
+      })
+      n.nodeName +: kids.flatMap(nodes)
+    }
+    val names = nodes(p)
+    assert(!names.exists(_.toLowerCase.contains("join")), names.mkString(","))
+    assert(names.count(_.contains("Exchange")) == 1, names.mkString(","))
+  }
+
+  test("rangeJoinBinned ≡ brute-force inequality join, boundaries inclusive") {
+    // intervals of 0–10 bins length incl. degenerate (start==end) and
+    // inverted (dropped); points on exact boundaries
+    val iv = spark.range(60).select(col("id").as("iv_id"),
+      timestamp_micros(col("id") * 3600000000L).as("s"),
+      timestamp_micros(col("id") * 3600000000L +
+        (col("id") % 11 - lit(1)) * 1800000000L).as("e"))
+    val pts = spark.range(300).select(col("id").as("p_id"),
+      timestamp_micros(col("id") * 750000000L).as("p"))
+    val fast = Temporal.rangeJoinBinned(pts, "p", iv, "s", "e",
+        binSeconds = 3600)
+      .select("p_id", "iv_id")
+    val brute = pts.join(iv, col("p") >= col("s") && col("p") <= col("e"))
+      .select("p_id", "iv_id")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+    // exactly-once per pair: no dedup pass hides a double-emit
+    assert(fast.groupBy("p_id", "iv_id").count().filter(col("count") > 1).isEmpty)
+    assert(brute.count() > 0)
+  }
+
+  test("rangeJoinBinned never plans a nested-loop or cartesian join") {
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
+      .toDF("iv_id", "s", "e")
+    val pts = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("p_id", "p")
+    val plan = Temporal.rangeJoinBinned(pts, "p", iv, "s", "e", 86400)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sessionize: gap strictly-greater breaks, ties ordered, partition-invariant") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 01:00:00")),  // gap == 1h exactly → same session
+      (3L, 7L, ts("2024-01-01 02:00:00.000001")), // 1h + 1µs → breaks
+      (4L, 7L, ts("2024-01-01 02:00:00.000001")), // tie ts, higher id → same
+      (5L, 8L, ts("2024-01-01 00:00:00"))   // other key: own numbering
+    ).toDF("event_id", "k", "t")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L)
+    Seq(ev, ev.repartition(7, col("event_id"))).foreach { in =>
+      val got = Temporal.sessionize(in, "k", "t", "event_id",
+          gapMicros = 3600000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == expect, got)
+    }
+  }
+}
