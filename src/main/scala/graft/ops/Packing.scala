@@ -74,4 +74,43 @@ object Packing {
         expr(s"start_tok div ${budget}L").as("shard_id"),
         pmod(col("start_tok"), lit(budget)).as("shard_off"))
   }
+
+  /** Fixed-size overlapping token windows per document — the chunking
+    * step that bounds every training/retrieval unit to a context window:
+    * a window of `win` whitespace tokens starts every `stride` tokens
+    * (stride < win ⇒ overlap, the RAG-style chunker; stride = win ⇒
+    * disjoint blocks), the last window clamps at the document end.
+    *
+    * Emits (id, chunk_idx, chunk_tokens, chunk_sha) — the digest instead
+    * of the chunk text keeps result rows fixed-width; callers that need
+    * the text re-slice by (chunk_idx · stride, win), which is why only
+    * deterministic arithmetic goes into the window layout.
+    *
+    * Pure scan-stage projection + generate (one explode, no shuffle, no
+    * UDF): at 100 TB this pipelines inside whole-stage codegen next to
+    * the parquet scan. The token array is bound once per row through a
+    * lambda variable (the wordNgrams O(tokens²) re-evaluation pitfall). */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      win: Int, stride: Int): DataFrame = {
+    require(win > 0, s"window must be positive: $win")
+    require(stride > 0 && stride <= win,
+      s"stride must be in [1, win]: stride=$stride win=$win")
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = when(length(trim(txt)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(txt), "\\s+"))
+    df.select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        posexplode(element_at(transform(array(col("_toks")), w =>
+          transform(
+            // chunk starts 0, stride, 2·stride … while start < n_tokens
+            sequence(lit(0), floor((size(w) - 1) / lit(stride)).cast("int")),
+            i => array_join(slice(w, i * stride + 1, lit(win)), " "))), 1)))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(win.toLong),
+          size(col("_toks")).cast("long") - col("pos").cast("long") * stride)
+          .as("chunk_tokens"),
+        sha2(col("col"), 256).as("chunk_sha"))
+  }
 }

@@ -349,7 +349,37 @@ object EngineE2E {
     out
   }
 
+  /** q49 — incremental materialized-view maintenance from the row-level
+    * change feed ([[graft.apply.IncrementalView]], the differential-
+    * dataflow pattern restricted to additive aggregates): bootstrap a
+    * per-(repo, lang) count/total-length roll-up from snapshot v0 of the
+    * CoW replay, then maintain it INCREMENTALLY from `changeFeed(0, 1)`
+    * — O(churn) deltas, point-pruned reads of touched groups only,
+    * re-applied through the full CDC path into a view lake of its own
+    * (snapshots, fencing, further change feeds downstream). The oracle
+    * recomputes the roll-up directly over the LWW final state, so a
+    * dropped retraction, a double-counted group move (an update that
+    * changes `lang` moves its row BETWEEN groups) or a group that should
+    * have emptied out all break the hash. */
+  def q49IncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val (lake, _) = cowReplayedLake(spark, dir)
+    val view = new graft.apply.IncrementalView(Seq("repo", "lang"),
+      Seq("total_len" -> length(col("content")).cast("long")))
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-view-lake")
+    val viewLake = new LakeTable(viewDir.toString, spark)
+    val viewApplier = new CdcApplier(viewLake, spark)
+    view.initialize(viewApplier, lake.read(Some(0L)), "view-0", seq = 1L)
+    view.maintain(viewApplier, viewLake, lake.changeFeed(0L, 1L), "view-1", seq = 2L)
+    val out = view.read(viewLake).localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(viewDir)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_incremental_view" -> q49IncrementalView _,
     "q45_sql_merge_face" -> q45SqlMergeFace _,
     "q40_sql_source_mor" -> q40SqlSourceMor _,
     "q41_sql_source_pruned" -> q41SqlSourcePruned _,
@@ -364,6 +394,23 @@ object EngineE2E {
     "q35_point_lookup" -> q35PointLookup _)
 
   val oracles: Map[String, String] = Map(
+    "q49_incremental_view" ->
+      """SELECT repo, lang, n_rows, total_len FROM (
+        | SELECT repo, lang,
+        |        CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(sum(length(content)) AS BIGINT) AS total_len
+        | FROM (
+        |  SELECT * FROM (
+        |   SELECT concat('r', user_id % 37) AS repo,
+        |          event_type AS lang,
+        |          props AS content,
+        |          CASE WHEN event_type = 'error' THEN 'DELETE'
+        |               WHEN event_type = 'signup' THEN 'INSERT'
+        |               ELSE 'UPDATE' END AS op,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |   FROM events)
+        |  WHERE rn = 1 AND op <> 'DELETE')
+        | GROUP BY repo, lang)""".stripMargin,
     "q45_sql_merge_face" ->
       """SELECT repo, path, commit, lang, content_sha, seq FROM (
         | SELECT concat('r', user_id % 37) AS repo,

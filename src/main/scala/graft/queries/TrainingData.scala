@@ -263,7 +263,27 @@ object TrainingData {
       Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0), defaultRate = 0.125)
       .select(col("doc_id"), col("lang"), col("sample_weight"))
 
+  /** q50 — repetition / boilerplate signals
+    * ([[graft.ops.Repetition.repetitionStats]], the Gopher duplicate-
+    * n-gram family): exact per-document token/bigram totals, distinct
+    * counts and top-gram frequencies, the integer numerators and
+    * denominators of every repetition ratio a corpus filter thresholds
+    * on. Two map-side-combined two-level aggregates; skew bounded by
+    * single-document length. */
+  def q50Repetition(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Repetition.repetitionStats(docs(spark, dir), "doc_id", "text")
+
+  /** q51 — context-window chunking ([[graft.ops.Packing.tokenWindows]]):
+    * 32-token windows every 24 tokens (8-token overlap), last window
+    * clamped — one explode in the scan stage, no shuffle; rows carry the
+    * chunk digest, not the chunk text. */
+  def q51TokenWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.tokenWindows(docs(spark, dir), "doc_id", "text",
+      win = 32, stride = 24)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_repetition" -> q50Repetition _,
+    "q51_token_windows" -> q51TokenWindows _,
     "q42_heavy_hitters" -> q42HeavyHitters _,
     "q43_stratified_sample" -> q43StratifiedSample _,
     "q37_contamination" -> q37Contamination _,
@@ -289,6 +309,53 @@ object TrainingData {
   private val stopEnSql = "['the','a','and','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q50_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(coalesce(text, ''))) = 0
+        |       THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+        |  END AS toks
+        | FROM documents),
+        |uc AS (
+        | SELECT doc_id, g, count(*) AS c
+        | FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g),
+        |us AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |        CAST(max(c) AS BIGINT) AS top_token_count
+        | FROM uc GROUP BY doc_id),
+        |bc AS (
+        | SELECT doc_id, g, count(*) AS c
+        | FROM (SELECT doc_id,
+        |        unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                for i in range(1, len(toks))]) AS g
+        |       FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |bs AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |        CAST(max(c) AS BIGINT) AS top_bigram_count
+        | FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | coalesce(distinct_tokens, 0) AS distinct_tokens,
+        | coalesce(top_token_count, 0) AS top_token_count,
+        | CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        | coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+        | coalesce(top_bigram_count, 0) AS top_bigram_count
+        |FROM t LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+    "q51_token_windows" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+        |c AS (
+        | SELECT doc_id, toks,
+        |        unnest(range((len(toks) - 1) // 24 + 1)) AS ci
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(ci AS BIGINT) AS chunk_idx,
+        | CAST(least(32, len(toks) - ci * 24) AS BIGINT) AS chunk_tokens,
+        | sha256(array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' '))
+        |   AS chunk_sha
+        |FROM c""".stripMargin,
     "q42_heavy_hitters" ->
       """WITH tok AS (
         | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

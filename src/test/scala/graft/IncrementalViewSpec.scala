@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apply.{CdcApplier, IncrementalView}
+import graft.lake.LakeTable
+
+/** Incremental materialized-view maintenance
+  * ([[graft.apply.IncrementalView]]): after every refresh the
+  * incrementally-maintained view must equal a from-scratch recompute over
+  * the source table's state at the same version — across inserts,
+  * updates that MOVE rows between groups, deletes that empty a group out,
+  * and a replayed (fenced) refresh.
+  */
+class IncrementalViewSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(op: String, repo: String, path: String, lang: String,
+      content: String, seq: Long): (String, String, String, String, String, String, String, Long) =
+    (op, (seq % 4).toString, repo, path, s"c$seq", lang, content, seq)
+
+  private def toDf(rows: Seq[(String, String, String, String, String, String, String, Long)]): DataFrame =
+    rows.toDF("op", "part", "repo", "path", "commit", "lang", "content", "seq")
+
+  private val view = new IncrementalView(Seq("repo", "lang"),
+    Seq("total_len" -> length(col("content")).cast("long")))
+
+  private def viewSet(df: DataFrame): Set[(String, String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("maintain ≡ full recompute across group moves, emptied groups, and a replay") {
+    val srcLake = new LakeTable(TestSpark.tmpDir("ivsrc"), spark)
+    val srcApplier = new CdcApplier(srcLake, spark)
+    val viewLake = new LakeTable(TestSpark.tmpDir("ivview"), spark)
+    val viewApplier = new CdcApplier(viewLake, spark)
+
+    // v0: two repos, two langs
+    srcApplier.applyBatch(toDf(Seq(
+      ev("INSERT", "r1", "a", "scala", "aaaa", 1),
+      ev("INSERT", "r1", "b", "scala", "bb", 2),
+      ev("INSERT", "r1", "c", "python", "ccc", 3),
+      ev("INSERT", "r2", "d", "go", "dddddd", 4))), "b0")
+    view.initialize(viewApplier, srcLake.read(Some(0L)), "view-0", seq = 1L)
+    assert(viewSet(view.read(viewLake)) == viewSet(view.full(srcLake.read(Some(0L)))))
+    assert(viewSet(view.read(viewLake)) == Set(
+      ("r1", "scala", 2L, 6L), ("r1", "python", 1L, 3L), ("r2", "go", 1L, 6L)))
+
+    // v1: update moves (r1,a) scala→python (group MOVE: retract + add),
+    // update grows (r1,b) in place, delete empties the r2/go group,
+    // insert opens a new repo
+    srcApplier.applyBatch(toDf(Seq(
+      ev("UPDATE", "r1", "a", "python", "aaaaaaaa", 5),
+      ev("UPDATE", "r1", "b", "scala", "bbbbb", 6),
+      ev("DELETE", "r2", "d", "go", "", 7),
+      ev("INSERT", "r3", "e", "rust", "ee", 8))), "b1")
+    view.maintain(viewApplier, viewLake, srcLake.changeFeed(0L, 1L), "view-1", seq = 2L)
+    assert(viewSet(view.read(viewLake)) == viewSet(view.full(srcLake.read(Some(1L)))))
+    val v1 = viewSet(view.read(viewLake))
+    assert(!v1.exists(_._2 == "go"), s"emptied group must drop out, got $v1")
+    assert(v1 == Set(
+      ("r1", "scala", 1L, 5L), ("r1", "python", 2L, 11L), ("r3", "rust", 1L, 2L)))
+
+    // replayed refresh (same batchId + seq): fenced to a no-op
+    val verBefore = viewLake.currentSnapshot.get.version
+    view.maintain(viewApplier, viewLake, srcLake.changeFeed(0L, 1L), "view-1", seq = 2L)
+    assert(viewSet(view.read(viewLake)) == v1)
+
+    // v2: delete the last python row of r1 plus an unrelated insert;
+    // a second genuine refresh on top of the replay must still converge
+    srcApplier.applyBatch(toDf(Seq(
+      ev("DELETE", "r1", "a", "python", "", 9),
+      ev("DELETE", "r1", "c", "python", "", 10),
+      ev("INSERT", "r2", "f", "go", "ffff", 11))), "b2")
+    val v2src = srcLake.currentSnapshot.get.version
+    view.maintain(viewApplier, viewLake,
+      srcLake.changeFeed(1L, v2src), "view-2", seq = 3L)
+    assert(viewSet(view.read(viewLake)) == viewSet(view.full(srcLake.read(Some(v2src)))))
+    assert(!viewSet(view.read(viewLake)).exists(_._2 == "python"))
+  }
+
+  test("pure-DataFrame merge path and the wide-churn semi-join path agree") {
+    val srcLake = new LakeTable(TestSpark.tmpDir("ivsrc2"), spark)
+    val srcApplier = new CdcApplier(srcLake, spark)
+    val rows0 = (1 to 300).map(i =>
+      ev("INSERT", s"r${i % 7}", s"p$i", if (i % 2 == 0) "even" else "odd", "x" * (i % 13), i.toLong))
+    srcApplier.applyBatch(toDf(rows0), "b0")
+    val rows1 = (1 to 300).filter(_ % 3 == 0).map(i =>
+      ev(if (i % 9 == 0) "DELETE" else "UPDATE",
+        s"r${i % 7}", s"p$i", if (i % 2 == 0) "odd" else "even", "y" * (i % 5), 300L + i))
+    srcApplier.applyBatch(toDf(rows1), "b1")
+    val feed = srcLake.changeFeed(0L, 1L)
+
+    // in-memory merge ≡ recompute
+    val v0 = view.full(srcLake.read(Some(0L)))
+    val merged = view.merge(v0, view.delta(feed))
+    assert(viewSet(merged) == viewSet(view.full(srcLake.read(Some(1L)))))
+
+    // lake-backed maintenance with maxPointKeys=0 forces the broadcast
+    // left-semi scan branch — same result as the point-lookup branch
+    val viewLake = new LakeTable(TestSpark.tmpDir("ivview2"), spark)
+    val viewApplier = new CdcApplier(viewLake, spark)
+    view.initialize(viewApplier, srcLake.read(Some(0L)), "view-0", seq = 1L)
+    view.maintain(viewApplier, viewLake, feed, "view-1", seq = 2L, maxPointKeys = 0)
+    assert(viewSet(view.read(viewLake)) == viewSet(view.full(srcLake.read(Some(1L)))))
+  }
+}

@@ -387,4 +387,43 @@ class OpsSpec extends AnyFunSuite {
       .select(TextAnalysis.tokenCount($"text")).head().getInt(0)
     assert(e == 0)
   }
+
+  test("repetition stats: exact gram counters, blank/null text all-zero") {
+    val in = Seq(
+      (0L, "a a a b"),            // uni: a×3 b×1; bi: "a a"×2 "a b"×1
+      (1L, "x"),                  // one token, zero bigrams
+      (2L, ""),                   // blank
+      (3L, null.asInstanceOf[String]), // null
+      (4L, "p q p q p")           // uni p×3 q×2; bi: "p q"×2 "q p"×2
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Repetition.repetitionStats(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out(0L) == ((4L, 2L, 3L, 3L, 2L, 2L)))
+    assert(out(1L) == ((1L, 1L, 1L, 0L, 0L, 0L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(4L) == ((5L, 2L, 3L, 4L, 2L, 2L)))
+    assert(out.size == 5) // every input doc present exactly once
+  }
+
+  test("token windows: stride layout, clamped tail, digests of real slices") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val in = Seq((7L, toks.mkString(" ")), (8L, ""), (9L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ops.Packing.tokenWindows(in, "doc_id", "text", win = 4, stride = 3)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 10 tokens, stride 3 → starts 0,3,6,9; blank doc emits nothing;
+    // 3 tokens < win → single clamped window
+    assert(rows.count(_._1 == 7L) == 4 && rows.count(_._1 == 8L) == 0
+      && rows.count(_._1 == 9L) == 1)
+    val d7 = rows.filter(_._1 == 7L).sortBy(_._2)
+    assert(d7.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    val expected = Seq(0, 3, 6, 9).map(s => toks.slice(s, s + 4).mkString(" "))
+    val shas = expected.map(t => java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(d7.map(_._4).toSeq == shas)
+    assert(rows.find(_._1 == 9L).get._3 == 3L)
+  }
 }
