@@ -141,30 +141,36 @@ final class IncrementalView(
     * no-op. Returns the view lake's new version. */
   def maintain(viewApplier: CdcApplier, viewLake: LakeTable, feed: DataFrame,
       batchId: String, seq: Long, maxPointKeys: Int = 8192): Long = {
-    val d = graft.ops.OpCaches.track(delta(feed))
-    val touched = d.select(viewKeyRepo.as("repo"), viewKeyPath.as("path"))
-    // touched-group count is O(churn's group set) — tiny relative to the
-    // table; counting it is one metadata-scale job over the cached delta
-    val nTouched = touched.count()
-    val current: DataFrame =
-      if (viewLake.currentSnapshot.isEmpty || nTouched == 0) {
-        d.limit(0) // empty, same shape as a delta row set
-      } else if (nTouched <= maxPointKeys) {
-        // manifest-range-pruned point reads: O(touched groups) of data
-        val keys = touched.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-        val (rows, _, _) = viewLake.lookupKeys(keys)
-        rows.select(gcols ++ aggCols.map(col): _*)
-      } else {
-        // churn so wide the point path stops paying: one scan, semi-joined
-        // to the (still broadcastable) touched-key set
-        viewLake.read()
-          .join(broadcast(touched), Seq("repo", "path"), "left_semi")
-          .select(gcols ++ aggCols.map(col): _*)
-      }
-    val merged = regroup(current.unionByName(d))
-    val events = asViewEvents(merged,
-      when(col("n_rows") <= 0, lit(Op.Delete)).otherwise(lit(Op.Update)),
-      batchId, seq)
-    viewApplier.applyBatch(events, batchId)
+    // local persist, released before return: a long-running streaming
+    // maintainer calls this once per micro-batch, so a session-lifetime
+    // cache registry would grow without bound
+    val d = delta(feed).persist()
+    try {
+      val touched = d.select(viewKeyRepo.as("repo"), viewKeyPath.as("path"))
+      // touched-group count is O(churn's group set) — tiny relative to
+      // the table; counting it is one metadata-scale job over the
+      // cached delta
+      val nTouched = touched.count()
+      val current: DataFrame =
+        if (viewLake.currentSnapshot.isEmpty || nTouched == 0) {
+          d.limit(0) // empty, same shape as a delta row set
+        } else if (nTouched <= maxPointKeys) {
+          // manifest-range-pruned point reads: O(touched groups) of data
+          val keys = touched.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          val (rows, _, _) = viewLake.lookupKeys(keys)
+          rows.select(gcols ++ aggCols.map(col): _*)
+        } else {
+          // churn so wide the point path stops paying: one scan,
+          // semi-joined to the (still broadcastable) touched-key set
+          viewLake.read()
+            .join(broadcast(touched), Seq("repo", "path"), "left_semi")
+            .select(gcols ++ aggCols.map(col): _*)
+        }
+      val merged = regroup(current.unionByName(d))
+      val events = asViewEvents(merged,
+        when(col("n_rows") <= 0, lit(Op.Delete)).otherwise(lit(Op.Update)),
+        batchId, seq)
+      viewApplier.applyBatch(events, batchId)
+    } finally d.unpersist()
   }
 }

@@ -131,6 +131,46 @@ object CdcStream {
       .start()
   }
 
+  /** Continuously maintain an incremental materialized view
+    * ([[graft.apply.IncrementalView]]) from a graft table's CDF stream —
+    * the composition the changeFeed streaming mode exists for: source
+    * table → `readStream.format("graft").option("changeFeed","true")` →
+    * per-micro-batch O(churn) view refresh into the view's own lake.
+    *
+    * No separate bootstrap step: the CDF stream's FIRST micro-batch is
+    * the whole table as insert-images (unless `startingVersion` pins a
+    * baseline), and the delta of an insert-only feed IS the full
+    * aggregate — bootstrap and increments take the same code path.
+    *
+    * Exactly-once composes end-to-end from fences already in place:
+    * the SOURCE replays deterministically (micro-batches are diffs of
+    * pinned snapshot versions), and a replayed batch re-derives the same
+    * view events under the same (batchId, seq), which the view lake's
+    * offsets + batch fences reduce to a metadata no-op. The view lake is
+    * a full graft table — snapshots, time travel, its own change feed —
+    * so views CHAIN: a second maintainer can tail this view's CDF. */
+  def startViewMaintenance(spark: SparkSession, sourceRoot: String,
+      view: graft.apply.IncrementalView, viewLake: LakeTable,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      startingVersion: Option[Long] = None): StreamingQuery = {
+    val viewApplier = new CdcApplier(viewLake, spark)
+    val reader = spark.readStream.format("graft").option("changeFeed", "true")
+    startingVersion.foreach(v => reader.option("startingVersion", v.toString))
+    reader.load(sourceRoot)
+      .writeStream
+      .queryName("graft-view-maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // micro-batch ids are the checkpoint's monotone clock — they
+        // restart exactly where they left off, which is what the view
+        // lake's seq fence needs
+        view.maintain(viewApplier, viewLake, batch, s"view-$id", seq = id + 1)
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed op-mix metrics with a WATERMARK (the streaming
     * face of the lineage roll-up, ≙ the reference's hourly Kibana view of
     * PROFILER counts): tumbling windows over the event time derived from

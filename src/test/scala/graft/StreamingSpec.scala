@@ -315,4 +315,41 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(hour0 == Seq((new java.sql.Timestamp(0L), "UPDATE", 3L)),
       s"got $hour0")
   }
+
+  test("CDF-driven view maintenance: bootstrap, incremental refresh, restart ≡ recompute") {
+    import graft.apply.{CdcApplier, IncrementalView}
+    val n = 3000L
+    val srcDir = TestSpark.tmpDir("vm-src")
+    val viewDir = TestSpark.tmpDir("vm-view")
+    val ckDir = TestSpark.tmpDir("vm-ck")
+    val srcLake = new LakeTable(srcDir, spark)
+    val applier = new CdcApplier(srcLake, spark, mergeOnRead = true)
+    val view = new IncrementalView(Seq("repo", "lang"),
+      Seq("total_len" -> length(col("content")).cast("long")))
+    val viewLake = new LakeTable(viewDir, spark)
+    def viewSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    // wave 1 → first drain is the insert backfill: bootstrap and
+    // increments share one code path
+    applier.applyBatch(canonical(n, 0, n / 2), "src-0")
+    awaitAndStop(CdcStream.startViewMaintenance(
+      spark, srcDir, view, viewLake, ckDir))
+    assert(viewSet(view.read(viewLake)) == viewSet(view.full(srcLake.read())))
+    assert(viewSet(view.read(viewLake)).nonEmpty)
+
+    // wave 2 (updates + deletes over the same keys) → a NEW stream
+    // instance resumes from the checkpoint and refreshes incrementally
+    applier.applyBatch(canonical(n, n / 2, n), "src-1")
+    awaitAndStop(CdcStream.startViewMaintenance(
+      spark, srcDir, view, viewLake, ckDir))
+    assert(viewSet(view.read(viewLake)) == viewSet(view.full(srcLake.read())))
+
+    // exactly one bootstrap + one incremental batch reached the view
+    // lake: the restart neither re-ran the backfill nor skipped a batch
+    val batches = viewLake.lineageTable().select(col("batch_id"))
+      .collect().map(_.getString(0)).toSet
+    assert(batches == Set("view-0", "view-1"), s"got $batches")
+  }
 }
