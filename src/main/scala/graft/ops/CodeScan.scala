@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source-code corpus curation scans: credential/secret detection and
+  * license identification — the two filters every code-corpus pipeline
+  * runs before training (leaked credentials must not be memorized;
+  * license class gates inclusion).
+  *
+  * Everything here is a pure Column projection (codegen'd, zero shuffle,
+  * no UDF): at 100 TB these evaluate inside the parquet scan stage, one
+  * pass over `content`, with column pruning and predicate pushdown
+  * intact. Regex patterns are kept to the Java-regex ∩ RE2 common subset
+  * so the DuckDB oracle matches byte-for-byte.
+  */
+object CodeScan {
+
+  /** AWS-style access key id: fixed prefix + 16 uppercase base36 chars. */
+  val awsKeyRe = "AKIA[0-9A-Z]{16}"
+
+  /** PEM private-key header (RSA/EC/OPENSSH/unqualified). */
+  val privateKeyRe = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+
+  /** Quoted credential assignment: `password = "..."`, `api_key: '...'`. */
+  val credentialAssignRe =
+    """(?i)(password|passwd|secret|api_key|token)\s*[:=]\s*["'][^"']{6,}["']"""
+
+  /** Long lowercase hex run (≥32): digests, session ids, raw key material. */
+  val longHexRe = "[0-9a-f]{32,}"
+
+  private def count(text: Column, re: String): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(re), lit(0)))
+
+  /** Per-document secret-likelihood features over `textCol`: match counts
+    * per pattern class plus an any-hit flag. One projection; rows with
+    * NULL text score zero everywhere. */
+  def secretScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val aws = count(t, awsKeyRe)
+    val pem = count(t, privateKeyRe)
+    val cred = count(t, credentialAssignRe)
+    val hex = count(t, longHexRe)
+    df.select(col(idCol),
+      aws.cast("long").as("aws_keys"),
+      pem.cast("long").as("private_keys"),
+      cred.cast("long").as("credential_assigns"),
+      hex.cast("long").as("long_hex_runs"),
+      (aws + pem + cred > 0).as("has_secret"))
+  }
+
+  /** License classification by header markers, first match wins
+    * (apache-2.0 > mit > gpl > bsd > unknown). Case-insensitive via a
+    * single lower(); marker substrings only — a full SPDX matcher is a
+    * lookup-dim join over this same projection. */
+  def licenseOf(text: Column): Column = {
+    val t = lower(coalesce(text, lit("")))
+    when(t.contains("apache license"), lit("apache-2.0"))
+      .when(t.contains("mit license") || t.contains("permission is hereby granted"),
+        lit("mit"))
+      .when(t.contains("gnu general public license"), lit("gpl"))
+      .when(t.contains("bsd license"), lit("bsd"))
+      .otherwise(lit("unknown"))
+  }
+}

@@ -108,6 +108,62 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Interval-stabbing aggregate at DAY granularity: for every `points`
+    * row, the COUNT of `intervals` rows whose `[startCol, endCol]` day
+    * range covers the point's day (`n_open`), plus the SUM of each
+    * weight column over those covering intervals — without ever
+    * materializing the point×interval pair set.
+    *
+    * When the consumer aggregates per point, a pair-producing range join
+    * ([[rangeJoinBinned]]) is the wrong primitive at density: N points/day
+    * × M overlapping intervals/day makes the TRUE pair set O(N·M·days)
+    * (q47's inputs at sf0.1 reach ~10^8 pairs before the aggregate —
+    * measured 37 s; no bin width fixes output size). This is the classic
+    * difference-array sweep instead:
+    *
+    *  1. each interval emits (+1, +w) at its start day and (-1, -w) at
+    *     end+1 — map-side-combined into ≤ 2·days delta rows;
+    *  2. a running sum over the densified calendar gives per-day totals —
+    *     the calendar is METADATA-SCALE (a century is 36 525 rows), so
+    *     the single-partition window is free and justified;
+    *  3. points broadcast-equi-join their day — zero shuffle on the big
+    *     side, no pairs, O(|P| + |I| + days) total.
+    *
+    * Exact when both columns are dates or midnight timestamps (q47's
+    * shape); sub-day granularity is the same construction over
+    * fixed-width epoch bins. Weight sums are exact for integer-valued
+    * weights (double addition of integers is order-independent).
+    * Points on days covered by zero intervals are dropped (inner-join
+    * semantics, matching the pair-join + GROUP BY formulation). */
+  def stabbingAggregate(points: DataFrame, pointDate: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      weights: Seq[(String, String)]): DataFrame = {
+    val iv = intervals.filter(col(endCol) >= col(startCol))
+    def side(day: Column, sign: Int): DataFrame =
+      iv.select(day.as("__d") +:
+        lit(sign.toLong).as("__n") +:
+        weights.map { case (c, out) => (col(c) * sign).as(out) }: _*)
+    val deltas = side(to_date(col(startCol)), 1)
+      .unionByName(side(date_add(to_date(col(endCol)), 1), -1))
+      .groupBy(col("__d"))
+      .agg(sum(col("__n")).as("__n"),
+        weights.map { case (_, out) => sum(col(out)).as(out) }: _*)
+    // densify the calendar so every point day has an exact running value
+    // (one row → explode; bounded by the date domain, not data volume)
+    val days = deltas.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    val w = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = days.join(broadcast(deltas), Seq("__d"), "left")
+      .select(col("__d") +:
+        sum(coalesce(col("__n"), lit(0L))).over(w).as("n_open") +:
+        weights.map { case (_, out) =>
+          sum(coalesce(col(out), lit(0.0))).over(w).as(out) }: _*)
+    points.join(broadcast(cum), to_date(col(pointDate)) === col("__d"))
+      .filter(col("n_open") > 0)
+      .drop("__d")
+  }
+
   /** Gaps-and-islands sessionization: adds `session_seq` (1-based per
     * key, in `(timeCol, orderCol)` order) — a new session starts when
     * the gap to the previous event exceeds `gapMicros`. `orderCol`

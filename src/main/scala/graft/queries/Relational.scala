@@ -287,13 +287,21 @@ object Relational {
         cents($"asof_o_totalprice").as("asof_price_cents"))
   }
 
-  /** q47 — RANGE JOIN: order dates (points) against lineitem ship
-    * windows [l_shipdate, l_shipdate + l_linenumber days] (intervals),
-    * aggregated per order. The naive SQL form is an inequality join
-    * Spark plans as a broadcast-nested-loop / cartesian;
-    * [[graft.ops.Temporal.rangeJoinBinned]] makes it a bin equi-join
-    * (7-day bins ≈ the max interval length → ≤ 2 bin rows per
-    * interval). */
+  /** q47 — RANGE JOIN, aggregated per point: order dates (points)
+    * against lineitem ship windows [l_shipdate, l_shipdate +
+    * l_linenumber days] (intervals), per-order covering count and
+    * quantity sum. The naive SQL form is an inequality join Spark plans
+    * as a broadcast-nested-loop / cartesian; a binned pair join
+    * ([[graft.ops.Temporal.rangeJoinBinned]]) fixes the PLAN but not the
+    * OUTPUT — at this density the true pair set is ~10^8 at sf0.1
+    * (every day is covered by hundreds of ship windows), so the
+    * pair-then-aggregate shape is O(pairs) no matter how it is joined.
+    * Since the consumer only wants per-point aggregates,
+    * [[graft.ops.Temporal.stabbingAggregate]] computes them with a
+    * difference-array sweep over the calendar instead: O(|P| + |I| +
+    * days), one metadata-scale window, zero pair materialization
+    * (measured 37 s → sub-second at sf0.1). Both sides' time columns
+    * are midnight-aligned, so day granularity is exact. */
   def q47RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
@@ -301,11 +309,10 @@ object Relational {
     val iv = t(dir, "lineitem")
       .select($"l_quantity", $"l_shipdate",
         ($"l_shipdate" + expr("make_dt_interval(l_linenumber)")).as("l_shipend"))
-    graft.ops.Temporal.rangeJoinBinned(points, "o_orderdate",
-        iv, "l_shipdate", "l_shipend", binSeconds = 7L * 86400)
-      .groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n_open"),
-        sum($"l_quantity").cast("long").as("qty_sum"))
+    graft.ops.Temporal.stabbingAggregate(points, "o_orderdate",
+        iv, "l_shipdate", "l_shipend", Seq("l_quantity" -> "qty_sum"))
+      .select($"o_orderkey", $"n_open",
+        $"qty_sum".cast("long").as("qty_sum"))
   }
 
   /** q48 — SESSIONIZATION: gaps-and-islands over the event stream

@@ -105,6 +105,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(brute.count() > 0)
   }
 
+  test("stabbingAggregate ≡ brute-force pair join + GROUP BY, day boundaries exact") {
+    // date intervals of 0–6 days incl. degenerate (start==end) and
+    // inverted (dropped); points on start days, end days, end+1 days,
+    // and days covered by nothing
+    val iv = spark.range(40).select(col("id").as("iv_id"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), (col("id") * 3).cast("int")).as("s"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") * 3 + col("id") % 7 - 1).cast("int")).as("e"),
+      (col("id") % 5 + 1).cast("double").as("w"))
+    val pts = spark.range(150).select(col("id").as("p_id"),
+      date_add(lit(java.sql.Date.valueOf("2023-12-30")), col("id").cast("int")).as("p"))
+    val fast = Temporal.stabbingAggregate(pts, "p", iv, "s", "e",
+        Seq("w" -> "w_sum"))
+      .select(col("p_id"), col("n_open"), col("w_sum").cast("long").as("w_sum"))
+    val brute = pts.join(iv, col("p") >= col("s") && col("p") <= col("e"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_open"), sum(col("w")).cast("long").as("w_sum"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+    assert(brute.count() > 0)
+    // the sweep never materializes pairs: no join of the two big sides —
+    // the only join is points against the broadcast calendar
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("rangeJoinBinned never plans a nested-loop or cartesian join") {
     val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
       .toDF("iv_id", "s", "e")
