@@ -168,18 +168,28 @@ object Bench {
 
     spark.stop()
 
+    // materialize-only mode: generate the binlog into SPARK_GRAFT_DATA_DIR
+    // and exit — lets scaling protocols (interleaved direct-java
+    // ScalingRunner pairs) prepare inputs without paying for the replays
+    if (sys.env.get("SPARK_GRAFT_MATERIALIZE_ONLY").contains("1")) {
+      println(s"""{"materialized":"$evPath","events":$nEvents}""")
+      return
+    }
+
     // ---- 3+4. every timed measurement runs in an ISOLATED subprocess
     // JVM (fresh JIT/GC/temp state — same-JVM reuse was measurably
     // poisoned by accumulated state) with an in-process warmup run
-    // before the measured run. ----
-    val replaySec = BenchIsolated.run("events", evDir, nEvents, 4, cpus)
+    // before the measured run. SPARK_GRAFT_REPLAYS=0 skips the replay
+    // phase (re-timing the query phase alone after a query change). ----
+    val runReplays = sys.env.getOrElse("SPARK_GRAFT_REPLAYS", "1") == "1"
+    val replaySec = if (runReplays) BenchIsolated.run("events", evDir, nEvents, 4, cpus) else -1.0
     val eps = nEvents / replaySec
-    val wireSec = BenchIsolated.run("wire", blobDir, nBlobs, 4, cpus)
+    val wireSec = if (runReplays) BenchIsolated.run("wire", blobDir, nBlobs, 4, cpus) else -1.0
     val wireEps = nEvents / wireSec
     // merge-on-read apply mode over the same canonical log: the
     // write-amplification-bounded path (key-column base read + delete
     // files instead of copy-on-write rewrite)
-    val morSec = BenchIsolated.run("mor", evDir, nEvents, 4, cpus)
+    val morSec = if (runReplays) BenchIsolated.run("mor", evDir, nEvents, 4, cpus) else -1.0
     val morEps = nEvents / morSec
 
     // scaling efficiency: N=8 vs 4N=32 cores, same input, same job (the

@@ -18,12 +18,19 @@ object BenchIsolated {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Run one warmup+measured replay in a fresh JVM; returns measured
-    * seconds (parsed from the child's GRAFT_SECONDS line). */
+    * seconds (parsed from the child's GRAFT_SECONDS line).
+    *
+    * Heap follows the EXECUTOR MODEL: ~3 GB per core, capped at 24 GB —
+    * a real N→4N cluster scales memory with executors, so a scaling
+    * pair measured with a FIXED heap at both core counts measures spill
+    * and GC-pressure asymmetry (12 GB/core at 2c vs 3 GB/core at 8c),
+    * not the plan's parallel efficiency. */
   def run(mode: String, path: String, n: Long, batches: Int, cpus: Int): Double = {
     import scala.sys.process._
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    val cmd = Seq(java, "-Xmx24g", "-XX:+UseG1GC") ++ addOpens ++ Seq(
+    val heapG = math.min(math.max(3 * cpus, 6), 24)
+    val cmd = Seq(java, s"-Xmx${heapG}g", "-XX:+UseG1GC") ++ addOpens ++ Seq(
       "-cp", cp, "graft.ScalingRunner",
       mode, path, n.toString, batches.toString, cpus.toString)
     val out = new StringBuilder
