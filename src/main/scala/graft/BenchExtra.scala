@@ -1,0 +1,38 @@
+package graft
+
+/** Extra benchmark harness (guide §1.4): bench-faithful FIRST-RUN timing
+  * of a named subset of the declared queries — same session config,
+  * warmup, sorted order, noop sink and between-query cache clears as
+  * [[Bench]], but restricted to the queries given as args (all when no
+  * args). Used for optimization-round cost attribution without paying
+  * for the full 53-query sweep; numbers are comparable to the in-bench
+  * per-query seconds. Not part of the driver contract ([[Bench]] is the
+  * frozen measured harness).
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val keep: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    val spark = Bench.session(cpus)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    scala.util.Try(spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    var total = 0.0
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1))
+      .foreach { case (name, fn) =>
+        spark.sparkContext.setJobDescription(name)
+        val t0 = System.nanoTime()
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+        } catch { case e: Throwable => Some(e.getMessage) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        total += sec
+        graft.ops.OpCaches.unpersistAll(spark)
+        spark.sharedState.cacheManager.clearCache()
+        println(f"EXTRA $name%-28s $sec%8.3f s${err.map(e => s"  ERR=$e").getOrElse("")}")
+      }
+    println(f"EXTRA total $total%.3f s")
+    spark.stop()
+  }
+}

@@ -34,19 +34,33 @@ object Contamination {
     * docs hit, hit_ratio = n_hit_grams / n_grams). */
   def evalOverlap(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, n: Int = 8): DataFrame = {
-    val grams = docs
-      .select(col(idCol), isEval.as("_eval"),
-        TextAnalysis.wordNgrams(col(textCol), n).as("_gs"))
-      .filter(size(col("_gs")) > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distinct n-grams are pre-hashed row-locally in the scan stage
+    // ([[TextKernels.wordNgramDigests]] — the interpreted wordNgrams HOF
+    // plus a per-gram md5 expression, fused into one monomorphic loop);
     // the per-doc total rides the exploded rows (constant per id, folded
-    // back with max) so the training corpus is scanned exactly ONCE
-    val train = grams.filter(!col("_eval"))
-      .select(col(idCol), size(col("_gs")).cast("long").as("_n"),
-        explode(col("_gs")).as("_g"))
-      .select(col(idCol), col("_n"), md5(col("_g")).as("_gh"))
-    val evalGrams = grams.filter(col("_eval"))
-      .select(col(idCol).as("_eval_id"), explode(col("_gs")).as("_g"))
-      .select(col("_eval_id"), md5(col("_g")).as("_gh"))
+    // back with max) so the training corpus is scanned exactly ONCE.
+    // idCol must be integral (rides the kernel as long).
+    val nn = n
+    // eval/train split BEFORE the kernel: the split predicate evaluates
+    // in each branch's scan stage (an opaque kernel would hide it from
+    // Catalyst), so every document is tokenized and hashed exactly once
+    def gramRows(side: DataFrame) = side
+      .select(col(idCol).cast("long").as("_kid"),
+        col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val gs = TextKernels.wordNgramDigests(md, t, nn)
+          val nG = gs.length.toLong
+          gs.iterator.map(gh => (id, nG, gh))
+        }
+      }.toDF(idCol, "_n", "_gh")
+    val train = gramRows(docs.filter(!isEval))
+    val evalGrams = gramRows(docs.filter(isEval))
+      .select(col(idCol).as("_eval_id"), col("_gh"))
     train.join(evalGrams, Seq("_gh"))
       .groupBy(col(idCol))
       .agg(max(col("_n")).as("n_grams"),

@@ -63,14 +63,16 @@ object Dedup {
   /** Full MinHash+LSH near-dup candidate pairs with exact-Jaccard verify.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     *
-    * Plan shape (the 100 TB-safe one): project the signature once →
-    * explode bands → self equi-join on (band, bucket) carrying ONLY
-    * (id, band, bucket) — shingle arrays never ride the candidate join,
-    * so shuffle bytes are O(candidates × 16B), not O(candidates ×
+    * Plan shape (the 100 TB-safe one): signature + band keys in one
+    * row-local scan-stage kernel (zero exchanges — a doc's signature is a
+    * function of its own row) → self equi-join on (band, bucket) carrying
+    * ONLY (id, band, bucket) — shingle arrays never ride the candidate
+    * join, so shuffle bytes are O(candidates × 16B), not O(candidates ×
     * shingle-set) — → dedup (id_a, id_b) → re-join the shingle sets just
     * for the (small) surviving candidate set → verify exact Jaccard.
     * Every join is an equi-join: sort-merge/shuffled-hash,
-    * AQE-skew-splittable — never a cartesian.
+    * AQE-skew-splittable — never a cartesian. `idCol` must be integral
+    * (it rides the kernel as long).
     *
     * `prefixChars` caps signature+verify cost by shingling only the first
     * N chars of the text (0 = full text) — a cost/recall knob the caller
@@ -92,34 +94,43 @@ object Dedup {
       k: Int = 5, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.6, prefixChars: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val txt = if (prefixChars > 0) substring(col(textCol), 1, prefixChars)
-      else col(textCol)
-    // Signature via explode + ONE hash aggregate, not nested array
-    // lambdas: md5 is computed once per (doc, shingle) in a codegen'd
-    // projection (top-level CSE collapses the two lane extractions), and
-    // the 16 per-hash minima are map-side-combined `min` aggregates — no
-    // higher-order functions, whole-stage codegen throughout. The lambda
-    // form re-hashed every shingle per hash function (16× md5; profiled
-    // 28 s vs <2 s for 5k docs at sf0.1).
-    val hx = md5(col("s"))
-    val lanes = df
-      .select(col(idCol).as("id"), explode(TextAnalysis.shingles(txt, k)).as("s"))
-      .select(col("id"),
-        conv(substring(hx, 1, 8), 16, 10).cast("long").as("a"),
-        conv(substring(hx, 9, 8), 16, 10).cast("long").as("b"))
-    val sig = lanes.groupBy(col("id"))
-      .agg(
-        min(pmod(col("a") * 1 + col("b"), lit(MinhashM))).as("h0"),
-        (1 until numHashes).map(h =>
-          min(pmod(col("a") * (2 * h + 1) + col("b"), lit(MinhashM))).as(s"h$h")): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Signature + banding in ONE row-local kernel inside the scan stage
+    // ([[TextKernels.minhashSig]]): a document's signature depends only
+    // on its own shingles, so no explode / hash-aggregate round trip is
+    // needed at all — the earlier explode + 16-min-aggregate shape paid
+    // an O(corpus shingles) exchange plus the interpreted-HOF shingle
+    // transform (two ~15 s JIT-cold runs on the bench corpus) to regroup
+    // rows that were already co-located. Bucket keys are the raw
+    // '|'-joined per-band minima (equality-joined, so hashing them first
+    // adds nothing). NULL texts yield no row, like the explode they
+    // replace. Kernel arithmetic is gated bit-exact against the DuckDB
+    // oracle (q17) and OpsSpec.
+    val kk = k; val nh = numHashes; val nb = bands; val rpb = rowsPerBand
+    val pc = prefixChars
     val banded = OpCaches.track(
-      sig.select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|",
-            (b * rowsPerBand until (b + 1) * rowsPerBand)
-              .map(h => col(s"h$h").cast("string")): _*)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+      df.select(col(idCol).cast("long").as("id"),
+          col(textCol).cast("string").as("t")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, t) =>
+            if (t == null) Iterator.empty
+            else {
+              val mins = TextKernels.minhashSig(md, t, kk, nh, pc)
+              (0 until nb).iterator.map { b =>
+                val sb = new java.lang.StringBuilder
+                var h = b * rpb
+                while (h < (b + 1) * rpb) {
+                  if (h > b * rpb) sb.append('|')
+                  sb.append(mins(h))
+                  h += 1
+                }
+                (id, b, sb.toString)
+              }
+            }
+          }
+        }.toDF("id", "band", "bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -127,11 +138,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify cost O(candidates): shingle only docs appearing in a pair
+    // (kernel shingle sets — same first-occurrence-distinct value set as
+    // the array_distinct transform, without the interpreted HOF)
     val candIds = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val sh = df.select(col(idCol).as("id"), txt.as("_txt"))
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t")).as[(Long, String)]
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), TextAnalysis.shingles(col("_txt"), k).as("sh"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, if (t == null) null
+        else TextKernels.shingleSet(
+          if (pc > 0) TextKernels.codePointPrefix(t, pc) else t, kk))
+      }).toDF("id", "sh")
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -179,21 +198,21 @@ object Dedup {
     * lambdas — keep it off hot paths. NULL texts yield no row (matches
     * a SQL oracle's unnest semantics). Returns (idCol, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
-      .select(col("id"), md5(col("t")).as("hx"))
-    def nib(j: Int) = conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int")
-    val votes = toks.groupBy(col("id")).agg(
-      sum(when(nib(0).bitwiseAND(lit(8)) === 8, 1).otherwise(-1)).as("v0_8"),
-      (for {j <- 0 until 16; m <- Seq(8, 4, 2, 1); if !(j == 0 && m == 8)} yield
-        sum(when(nib(j).bitwiseAND(lit(m)) === m, 1).otherwise(-1)).as(s"v${j}_$m")): _*)
-    val hexChars = (0 until 16).map { j =>
-      val v = Seq(8, 4, 2, 1).map(m =>
-        when(col(s"v${j}_$m") > 0, lit(m)).otherwise(lit(0))).reduce(_ + _)
-      lit("0123456789abcdef").substr(v + 1, lit(1))
-    }
-    votes.select(col("id").as(idCol), concat(hexChars: _*).as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // row-local kernel ([[TextKernels.simhashHex]]): a doc's signature is
+    // a function of its own distinct tokens, so the explode → 64-sum
+    // aggregate shape paid an O(corpus tokens) exchange (plus 64 conv()
+    // nibble parses per token row) to regroup co-located rows; the kernel
+    // is one scan-stage projection, bit-identical (OpsSpec gates it
+    // against the Column lambda form, the q18 oracle against DuckDB).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, TextKernels.simhashHex(md, t)) }
+      }.toDF(idCol, "simhash")
   }
 
   /** SimHash near-dup pairs by pigeonhole: two docs within Hamming

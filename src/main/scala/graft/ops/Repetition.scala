@@ -12,53 +12,31 @@ import org.apache.spark.sql.functions._
   * form whatever ratios they filter on and the cross-engine gate hashes
   * exactly.
   *
-  * Shape at scale: two explode → two-level hash aggregates, each keyed
-  * (doc, gram) then doc — fully parallel, map-side combined, and skew is
-  * bounded by single-document length (a web-scale corpus's per-doc token
-  * count is capped upstream). The gram shuffle is O(corpus tokens), the
-  * floor for EXACT per-document distinct counts; the doc-keyed joins
-  * after aggregation carry only counter rows.
+  * Shape at scale: ONE row-local scan-stage kernel
+  * ([[TextKernels.repetitionCounters]]) — every counter is a pure
+  * function of a single document's token sequence, so nothing shuffles
+  * at all; skew is bounded by single-document length (a web-scale
+  * corpus's per-doc token count is capped upstream). The earlier
+  * explode → two-level-aggregate shape shuffled O(corpus tokens) only to
+  * regroup rows already co-located in their document.
   */
 object Repetition {
 
   /** Per-document repetition signals over whitespace tokens:
     * (id, n_tokens, distinct_tokens, top_token_count, n_bigrams,
-    * distinct_bigrams, top_bigram_count). NULL/blank text ⇒ all zeros. */
+    * distinct_bigrams, top_bigram_count). NULL/blank text ⇒ all zeros.
+    * `idCol` must be integral (rides the kernel as long). */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
-    val toks = when(length(trim(txt)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(txt), "\\s+"))
-    val base = docs.select(col(idCol).as("_id"), toks.as("_toks"))
-
-    val uni = base.select(col("_id"), explode(col("_toks")).as("_g"))
-      .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
-      .groupBy(col("_id")).agg(
-        count(lit(1)).as("distinct_tokens"),
-        max(col("_c")).as("top_token_count"))
-
-    // bigrams: bind the token array once through a lambda variable (the
-    // wordNgrams O(tokens²) pitfall — see TextAnalysis.wordNgrams);
-    // NOT distinct, the whole point is counting repeats
-    val bigrams = element_at(transform(array(col("_toks")), w =>
-      when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => array_join(slice(w, i, lit(2)), " ")))
-        .otherwise(array().cast("array<string>"))), 1)
-    val bi = base.select(col("_id"), explode(bigrams).as("_g"))
-      .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
-      .groupBy(col("_id")).agg(
-        count(lit(1)).as("distinct_bigrams"),
-        max(col("_c")).as("top_bigram_count"))
-
-    base.select(col("_id"), size(col("_toks")).cast("long").as("n_tokens"))
-      .join(uni, Seq("_id"), "left")
-      .join(bi, Seq("_id"), "left")
-      .select(col("_id").as(idCol),
-        col("n_tokens"),
-        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
-        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
-        greatest(col("n_tokens") - 1, lit(0L)).as("n_bigrams"),
-        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"),
-        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (nTok, dTok, topTok, nBi, dBi, topBi) =
+          TextKernels.repetitionCounters(t)
+        (id, nTok, dTok, topTok, nBi, dBi, topBi)
+      })
+      .toDF(idCol, "n_tokens", "distinct_tokens", "top_token_count",
+        "n_bigrams", "distinct_bigrams", "top_bigram_count")
   }
 }

@@ -78,6 +78,48 @@ object TextAnalysis {
   def shingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
 
+  /** Whole-table fingerprint pass (q15): (idCol, fp64, shingle_fp) via
+    * one row-local scan-stage kernel ([[TextKernels.fingerprints]]) —
+    * both fingerprints are pure functions of one row's text, so the
+    * explode → min-aggregate → join shape paid an O(corpus shingles)
+    * exchange (plus the interpreted shingle HOF) for nothing. NULL text
+    * ⇒ NULL fingerprints, matching the SQL oracle. idCol must be
+    * integral (rides the kernel as long). */
+  def fingerprintTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kk = k
+    df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) =>
+          if (t == null) (id, null: String, null: String)
+          else {
+            val (fp64, shFp) = TextKernels.fingerprints(md, t, kk)
+            (id, fp64, shFp)
+          }
+        }
+      }.toDF(idCol, "fp64", "shingle_fp")
+  }
+
+  /** Distinct k-shingle sets for a whole table: (idCol, sh) via the
+    * row-local kernel ([[TextKernels.shingleSet]]) — the value set of
+    * `array_distinct(transform(...))` without the interpreted HOF. NULL
+    * text ⇒ NULL array. idCol must be integral. */
+  def shingleTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kk = k
+    df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, if (t == null) null else TextKernels.shingleSet(t, kk))
+      }).toDF(idCol, "sh")
+  }
+
   /** Distinct word n-grams (whitespace tokens joined by a single space).
     * Documents with fewer than n tokens yield an empty array; blank text
     * yields an empty array (split of "" is [""], size 1 < n for n ≥ 2).

@@ -1,0 +1,255 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Row-local text kernels behind the per-document operators (MinHash
+  * signatures, SimHash, shingle/fingerprint sets, word n-gram digests,
+  * repetition counters).
+  *
+  * Why kernels and not Column expressions (guide §1.2 step 2): every one
+  * of these statistics is a pure function of ONE row's text, so the
+  * 100 TB-optimal plan is a scan-stage projection with zero exchanges —
+  * but the Column formulation needs higher-order functions
+  * (transform/aggregate over shingle/token arrays), which Spark evaluates
+  * INTERPRETED (no whole-stage codegen for HOF lambdas, no CSE inside
+  * them), or an explode → hash-aggregate round trip that shuffles
+  * O(corpus tokens) only to regroup rows that were already co-located.
+  * Measured on the bench corpus: the q17 signature+verify chain spends
+  * 2 × ~15 s runs before the JIT warms the interpreted HOF paths; these
+  * kernels are plain monomorphic JVM loops (one MessageDigest per task,
+  * one HashSet/HashMap per row) that run at memory speed from the first
+  * row. Skew is bounded by single-document length, exactly like the
+  * expressions they replace.
+  *
+  * Exactness contract: every kernel reproduces the replaced Column
+  * expression bit-for-bit (and therefore the DuckDB oracles):
+  * code-point (not UTF-16) substring semantics, Spark `split`/`trim`
+  * token semantics, md5-hex lane extraction, IEEE double ratios of exact
+  * integer counts. Gated by the q15/q16/q17/q18/q37/q50 oracle queries
+  * and the OpsSpec kernel-vs-Column equivalence tests.
+  */
+private[ops] object TextKernels {
+
+  /** First `n` code points of `s` (Spark/DuckDB `substring(s, 1, n)`);
+    * the whole string when `n <= 0`. */
+  def codePointPrefix(s: String, n: Int): String = {
+    if (n <= 0 || s.length <= n) return s // UTF-16 len <= n ⇒ cp len <= n
+    var o = 0
+    var c = 0
+    while (c < n && o < s.length) { o = s.offsetByCodePoints(o, 1); c += 1 }
+    s.substring(0, o)
+  }
+
+  /** Visit every character-k-gram of `s` in order, code-point-correct:
+    * positions 1 .. max(cpLen-k+1, 1), each shingle = k code points (or
+    * the remainder near/at a short end) — the exact value set of
+    * `transform(sequence(1, greatest(length(s)-k+1, 1)), i => substr(i, k))`.
+    * May visit duplicates; callers dedup as needed. */
+  def foreachShingle(s: String, k: Int)(f: String => Unit): Unit = {
+    val len = s.length
+    var hasSupp = false
+    var i = 0
+    while (i < len && !hasSupp) {
+      if (Character.isHighSurrogate(s.charAt(i))) hasSupp = true
+      i += 1
+    }
+    if (!hasSupp) {
+      val cnt = math.max(len - (k - 1), 1)
+      var p = 0
+      while (p < cnt) { f(s.substring(p, math.min(p + k, len))); p += 1 }
+    } else {
+      val cpLen = s.codePointCount(0, len)
+      val offs = new Array[Int](cpLen + 1)
+      var o = 0
+      var c = 0
+      while (c < cpLen) { offs(c) = o; o = s.offsetByCodePoints(o, 1); c += 1 }
+      offs(cpLen) = len
+      val cnt = math.max(cpLen - (k - 1), 1)
+      var p = 0
+      while (p < cnt) { f(s.substring(offs(p), offs(math.min(p + k, cpLen)))); p += 1 }
+    }
+  }
+
+  /** Distinct shingles, first-occurrence order (≡ `array_distinct` over
+    * the shingle transform). */
+  def shingleSet(s: String, k: Int): Array[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    foreachShingle(s, k)(seen.add(_))
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def md5Hex(md: MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** MinHash signature over the distinct k-shingles of the first
+    * `prefixChars` code points (whole text when 0): for hash h,
+    * min over shingles of (a·(2h+1) + b) mod (2³¹−1), where (a, b) are
+    * the first two big-endian 32-bit lanes of the shingle's md5 — the
+    * exact arithmetic of the conv(md5-hex)-lane Column form. */
+  def minhashSig(md: MessageDigest, text: String, k: Int, numHashes: Int,
+      prefixChars: Int): Array[Long] = {
+    val t = if (prefixChars > 0) codePointPrefix(text, prefixChars) else text
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    foreachShingle(t, k) { s =>
+      if (seen.add(s)) {
+        md.reset()
+        val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+        val a = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val b = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var h = 0
+        while (h < numHashes) {
+          val v = (a * (2 * h + 1) + b) % 2147483647L
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+    }
+    mins
+  }
+
+  /** Whitespace tokens of `trim(text)` — Spark `split(trim(t), "\\s+")`
+    * semantics: blank input yields one empty-string token. */
+  def wsTokens(text: String): Array[String] = text.trim.split("\\s+", -1)
+
+  /** 64-bit SimHash as 16 hex chars — the exact per-nibble majority vote
+    * of [[Dedup.simhash]]: for nibble j and bit m, vote over DISTINCT
+    * tokens of +1 when bit m of md5-hex nibble j is set else −1; the
+    * output nibble keeps the bits with a strictly positive vote. */
+  def simhashHex(md: MessageDigest, text: String): String = {
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[String]()
+    val toks = wsTokens(text)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      if (seen.add(tok)) {
+        md.reset()
+        val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 16) {
+          val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          var bit = 0
+          while (bit < 4) {
+            val m = 8 >> bit
+            votes(4 * j + bit) += (if ((nib & m) == m) 1 else -1)
+            bit += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](16)
+    var j = 0
+    while (j < 16) {
+      var v = 0
+      var bit = 0
+      while (bit < 4) {
+        if (votes(4 * j + bit) > 0) v |= (8 >> bit)
+        bit += 1
+      }
+      out(j) = hexChars(v)
+      j += 1
+    }
+    new String(out)
+  }
+
+  /** (whole-text md5 prefix-16, min md5-hex over distinct k-shingles) —
+    * the q15 fingerprint pair; md5-hex minima compare lexicographically
+    * which equals unsigned-byte order, so `min(md5(s))` is exact. */
+  def fingerprints(md: MessageDigest, text: String, k: Int): (String, String) = {
+    val fp64 = md5Hex(md, text).substring(0, 16)
+    var minHex: String = null
+    val seen = new java.util.HashSet[String]()
+    foreachShingle(text, k) { s =>
+      if (seen.add(s)) {
+        val hx = md5Hex(md, s)
+        if (minHex == null || hx.compareTo(minHex) < 0) minHex = hx
+      }
+    }
+    (fp64, minHex)
+  }
+
+  /** Distinct word n-grams (tokens joined by one space) as md5-hex
+    * digests — the [[TextAnalysis.wordNgrams]] value set, pre-hashed.
+    * Blank text or fewer than n tokens ⇒ empty. */
+  def wordNgramDigests(md: MessageDigest, text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val t = text.trim
+    if (t.isEmpty) return Array.empty
+    val toks = t.split("\\s+", -1)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = md5Hex(md, it.next()); p += 1 }
+    out
+  }
+
+  /** Per-document repetition counters (q50): token/bigram totals,
+    * distinct counts and top frequencies over whitespace tokens; blank or
+    * NULL text ⇒ all zeros. Exact integers. */
+  def repetitionCounters(text: String)
+      : (Long, Long, Long, Long, Long, Long) = {
+    val t = if (text == null) "" else text.trim
+    if (t.isEmpty) return (0L, 0L, 0L, 0L, 0L, 0L)
+    val toks = t.split("\\s+", -1)
+    val uni = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) {
+      uni.merge(toks(i), 1, Integer.sum)
+      i += 1
+    }
+    var topTok = 0
+    val uit = uni.values().iterator()
+    while (uit.hasNext) { val c = uit.next(); if (c > topTok) topTok = c }
+    var distinctBi = 0L
+    var topBi = 0
+    if (toks.length >= 2) {
+      val bi = new java.util.HashMap[String, Int]()
+      val sb = new java.lang.StringBuilder
+      var p = 0
+      while (p + 1 < toks.length) {
+        sb.setLength(0)
+        sb.append(toks(p)).append(' ').append(toks(p + 1))
+        bi.merge(sb.toString, 1, Integer.sum)
+        p += 1
+      }
+      distinctBi = bi.size.toLong
+      val bit = bi.values().iterator()
+      while (bit.hasNext) { val c = bit.next(); if (c > topBi) topBi = c }
+    }
+    (toks.length.toLong, uni.size.toLong, topTok.toLong,
+      math.max(toks.length - 1, 0).toLong, distinctBi, topBi.toLong)
+  }
+}

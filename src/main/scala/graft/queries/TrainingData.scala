@@ -47,21 +47,12 @@ object TrainingData {
       col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
   }
 
-  /** q15 — document fingerprints (md5-64 + min-shingle). The min-shingle
-    * side uses the explode + hash-aggregate shape (codegen'd md5 per
-    * shingle row, map-side-combined min) instead of the interpreted
-    * array lambda; explode_outer keeps NULL-text docs as NULL
-    * fingerprints like the SQL oracle does. */
-  def q15Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val fps = d.select(col("doc_id"),
-      TextAnalysis.fingerprint64(col("text")).as("fp64"))
-    val sfp = d.select(col("doc_id"),
-        explode_outer(TextAnalysis.shingles(col("text"), 5)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("s"))).as("shingle_fp"))
-    fps.join(sfp, Seq("doc_id"))
-  }
+  /** q15 — document fingerprints (md5-64 + min-shingle) via the
+    * row-local kernel ([[TextAnalysis.fingerprintTable]]): one scan-stage
+    * projection, zero exchanges — both fingerprints are functions of one
+    * row's text. NULL text ⇒ NULL fingerprints like the SQL oracle. */
+  def q15Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintTable(docs(spark, dir), "doc_id", "text", 5)
 
   /** q16 — n-gram Jaccard similarity on adjacent doc pairs (the exact
     * verify kernel used by the LSH pipeline, oracle-gated). Shingle sets
@@ -69,8 +60,8 @@ object TrainingData {
     * ngramJaccard(text_a, text_b) after the join shingled every document
     * twice (once per side it appears on). */
   def q16NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.ops.OpCaches.track(docs(spark, dir).select(col("doc_id"),
-      graft.ops.TextAnalysis.shingles(col("text"), 5).as("sh")))
+    val sh = graft.ops.OpCaches.track(
+      graft.ops.TextAnalysis.shingleTable(docs(spark, dir), "doc_id", "text", 5))
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
       col("sh").as("sh_b"))

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Dev probe: run one declared query fresh and print every Spark job's
+  * wall time + description — attributes a fixture-heavy query's cost to
+  * its constituent jobs (not part of the driver contract). */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Bench.session(32)
+    val t0s = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        t0s(js.jobId) = (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description")).getOrElse("") +
+            " | " + js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(";").take(120))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        t0s.remove(je.jobId).foreach { case (t0, d) =>
+          println(f"JOB ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $d")
+        }
+    })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    scala.util.Try(spark.read.parquet(s"$dir/lineitem.parquet").count())
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    Thread.sleep(1000)
+    spark.stop()
+  }
+}

@@ -1,0 +1,28 @@
+package graft.tools
+
+/** Dev tool: dump .explain("formatted") for named queries to files
+  * (plans/r06 deliverables). Usage: PlanDump <outDir> <suffix> q.. q.. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.session(32)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      val df =
+        if (name == "q17_minhash_lsh")
+          graft.queries.TrainingData.q17PairsUncached(spark, dir)
+        else graft.SparkEntry.queries(name)(spark, dir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"), txt)
+      println(s"dumped $name -> ${name}_$suffix.txt (${txt.length} chars)")
+      graft.ops.OpCaches.unpersistAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

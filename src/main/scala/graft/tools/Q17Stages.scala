@@ -1,0 +1,23 @@
+package graft.tools
+
+/** Dev probe: repeated cleared-cache runs of the uncached q17 pipeline in
+  * one JVM — separates first-run (codegen/JIT) cost from steady-state
+  * plan cost (not part of the driver contract). */
+object Q17Stages {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Bench.session(32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.count()
+    (1 to 4).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.queries.TrainingData.q17PairsUncached(spark, dir)
+        .localCheckpoint(true).count()
+      println(f"RUN $i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      graft.ops.OpCaches.unpersistAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

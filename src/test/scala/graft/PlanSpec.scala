@@ -57,10 +57,14 @@ class PlanSpec extends AnyFunSuite {
       s"LSH must bucket-join, got:\n$p")
   }
 
-  test("q17: signature aggregation is a hash aggregate with map-side combine") {
+  test("q17: signature+banding is a row-local scan-stage kernel — no exchange") {
     val p = q17plan
-    assert(p.contains("HashAggregate"), s"expected hash aggregate in:\n$p")
-    assert(p.contains("partial_min"), s"expected map-side partial minima in:\n$p")
+    // the per-doc MinHash signature is computed by a mapPartitions kernel
+    // in the scan stage; the explode → 16-min-aggregate round trip (an
+    // O(corpus shingles) exchange) must NOT reappear
+    assert(p.contains("MapPartitions"), s"expected signature kernel in:\n$p")
+    assert(!p.contains("partial_min"),
+      s"signature must not shuffle through a min-aggregate:\n$p")
   }
 
   test("q17: verify stage shingles only candidates (left-semi), signature exchange reused") {
