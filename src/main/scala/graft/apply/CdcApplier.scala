@@ -245,11 +245,24 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
     * range, so a future batch touching k repos touches O(k/keyspace) of
     * the table. `clusterPartitions = 0` lets AQE size the range
     * partitions; an explicit count pins the output file count (AQE won't
-    * coalesce a user-specified numPartitions). */
-  private def clusterForWrite(df: DataFrame): DataFrame =
+    * coalesce a user-specified numPartitions).
+    *
+    * `estRows` (an upper bound on the output's rows, when the caller
+    * knows one from batch stats) short-circuits SMALL outputs to
+    * `coalesce(1)`: one output partition is trivially range-disjoint and
+    * [[graft.lake.LakeTable.writeDataFiles]] sorts within partitions
+    * anyway, so the file keeps tight key stats — while skipping the
+    * RangePartitioner's SAMPLING pass, which executes the whole merge
+    * subtree one extra time per micro-batch. Threshold
+    * `spark.graft.smallWriteRows` (default 262144 — a single write task
+    * sorting ≲100 MB); production bulk batches exceed it and keep the
+    * parallel range path. */
+  private def clusterForWrite(df: DataFrame, estRows: Long = Long.MaxValue): DataFrame =
     if (!clusterWrite) df
-    else if (clusterPartitions > 0)
+    else if (clusterPartitions > 0) // explicit file-count pin always wins
       df.repartitionByRange(clusterPartitions, col("repo"), col("path"))
+    else if (estRows <= spark.conf.get("spark.graft.smallWriteRows", "262144").toLong)
+      df.coalesce(1)
     else df.repartitionByRange(col("repo"), col("path"))
 
   // ---- 5+6 (copy-on-write): union touched-file rows with the batch,
@@ -293,7 +306,11 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         struct(col("seq"), col("commit"), col("_isChange"))).as("r"))
       .filter(col("r._op") =!= Op.Delete)
       .select(keyCols.map(col) ++ valueNames.map(c => col(s"r.$c").as(c)): _*)
-    val newFiles = lake.writeDataFiles(clusterForWrite(merged), f"b$batchId%s-v")
+    // merged rows ≤ touched base rows + batch upserts — both already on
+    // the driver (manifest stats + the fused stats job)
+    val newFiles = lake.writeDataFiles(
+      clusterForWrite(merged, touchedData.map(_.rows).sum + upserts),
+      f"b$batchId%s-v")
     // delete files are kept whether touched or not (their entries may
     // target untouched files' rows)
     val keep = retained ++ touched.filter(_.kind == "delete")
@@ -421,8 +438,11 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
           if (c == "seq" || c == "commit") col(s"w.$c").as(c)
           else lit(null).cast(evolved(c).dataType).as(c)
         } :+ lit("delete").as("_kind"): _*)
+      // written rows ≤ 2 × batch keys ≤ 2 × (upserts + deletes): every
+      // output row (data winner or delete entry) maps to a batch key
       val entries = lake.writeDataFiles(
-        clusterForWrite(dataPart.unionByName(delPart)),
+        clusterForWrite(dataPart.unionByName(delPart),
+          2 * (upserts + deletes)),
         f"b$batchId%s-m", blooms = false, partitionCol = Some("_kind"))
       // live-count chain: previous commit's exact rowsAfter (file sums
       // would count superseded versions still sitting in MoR files)

@@ -391,9 +391,16 @@ class LakeTable(val root: String, spark: SparkSession,
     val parts = partsKinded.map(_._1)
     // local-path staging is only task-visible when executors share the
     // driver's filesystem (local mode, or a mounted FS); remote
-    // executors + a plain file: root → collect stats driver-side
+    // executors + a plain file: root → collect stats driver-side.
+    // Small file counts also stay driver-side even when tasks could do
+    // it: a footer read is a few ms of metadata IO, and the distributed
+    // path pays a full Spark job (repartition + collect) of fixed
+    // latency per write — at micro-batch cadence that job IS the cost.
+    // The task-side path remains for wide writes (compactions, bulk
+    // batches producing many files).
     val localOnlyStage = tmp.toUri.getScheme == "file" || tmp.toUri.getScheme == null
-    val taskSide = spark.sparkContext.isLocal || !localOnlyStage
+    val taskSide = (spark.sparkContext.isLocal || !localOnlyStage) &&
+      parts.size > spark.sparkContext.defaultParallelism
     val stats: Map[String, (Long, String, String, String, String, Long, Long, Long)] =
       if (parts.isEmpty) Map.empty
       else if (!taskSide) {
@@ -590,11 +597,17 @@ class LakeTable(val root: String, spark: SparkSession,
     val raw = readDataFiles(small, snap.schema, snap.renames)
     val df = if (major) resolveDeletes(raw, snap, scanned = Some(small)) else raw
     // range-cluster (not hash): compacted files get tight disjoint key
-    // ranges, which is what keeps future CoW merges cheap
+    // ranges, which is what keeps future CoW merges cheap. SMALL rewrites
+    // (total rows known from the manifest) take coalesce(1): one
+    // partition is trivially range-disjoint, writeDataFiles sorts it, and
+    // the RangePartitioner's sampling pass — one extra execution of the
+    // whole resolve subtree — is skipped.
     val sized =
-      if (singleFile) df.coalesce(1)
-      else if (shufflePartitions > 0)
+      if (shufflePartitions > 0) // explicit file-count pin always wins
         df.repartitionByRange(shufflePartitions, col("repo"), col("path"))
+      else if (singleFile || small.map(_.rows).sum <=
+          spark.conf.get("spark.graft.smallWriteRows", "262144").toLong)
+        df.coalesce(1)
       else df.repartitionByRange(col("repo"), col("path"))
     val added = writeDataFiles(sized, s"compact-v${snap.version + 1}")
     Some(commit(s"compact-${snap.version + 1}", Map.empty, snap.schema, keep, added,
@@ -635,7 +648,14 @@ class LakeTable(val root: String, spark: SparkSession,
       // delete aggregate runs once, not once per pass
       .persist()
     try {
-      val sized = merged.repartitionByRange(col("repo"), col("path"))
+      // delete-entry total is manifest-known: small consolidations skip
+      // the RangePartitioner sampling pass via coalesce(1) (sorted +
+      // trivially range-disjoint, like the applier's small-batch path)
+      val sized =
+        if (dels.map(_.rows).sum <=
+            spark.conf.get("spark.graft.smallWriteRows", "262144").toLong)
+          merged.coalesce(1)
+        else merged.repartitionByRange(col("repo"), col("path"))
       // blooms off: like MoR micro-batch output, delete files are always
       // scanned whole by resolveDeletes, never point-probed
       val added = writeDataFiles(sized, s"deletes-v${snap.version + 1}",

@@ -254,11 +254,17 @@ object Dedup {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     // three consumers (both join branches + the verify re-join) —
     // materialize once, recomputable on loss; registered with OpCaches
-    // so long-lived sessions can release it ([[OpCaches.unpersistAll]])
-    val base = OpCaches.track(df.select(col(idCol).as("id"),
-        Similarity.quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", Similarity.lshBucketQ(col("qv"), nPlanes, dim))
-      .withColumn("aa", Similarity.qdot(col("qv"), col("qv"))))
+    // so long-lived sessions can release it ([[OpCaches.unpersistAll]]).
+    // quantize / bucket / self-dot in row-local kernels ([[VectorKernels]])
+    // — same arithmetic as the Column HOFs, no interpreted lambdas.
+    val signs = Similarity.planeSigns(nPlanes, dim)
+    val base = OpCaches.track(VectorKernels.withQdot(
+      VectorKernels.withBucket(
+        VectorKernels.withQuantized(
+          df.select(col(idCol).as("id"), col(vecCol).as("_v")), "_v", "qv")
+          .drop("_v"),
+        "qv", "bucket", signs, dim),
+      "qv", "qv", "aa"))
     val a = base.select(col("id").as("id_a"),
       explode(Similarity.probeBuckets(col("bucket"), nPlanes, probeBits)).as("bucket"))
     val b = base.select(col("id").as("id_b"), col("bucket"))
@@ -270,7 +276,7 @@ object Dedup {
     pairs
       .join(side.select(col("id").as("id_a"), col("qv").as("qv_a"), col("aa").as("aa_a")), Seq("id_a"))
       .join(side.select(col("id").as("id_b"), col("qv").as("qv_b"), col("aa").as("aa_b")), Seq("id_b"))
-      .withColumn("qdot", Similarity.qdot(col("qv_a"), col("qv_b")))
+      .transform(VectorKernels.withQdot(_, "qv_a", "qv_b", "qdot"))
       .withColumn("cos_q",
         col("qdot").cast("double") / sqrt((col("aa_a") * col("aa_b")).cast("double")))
       .filter(col("cos_q") >= threshold)

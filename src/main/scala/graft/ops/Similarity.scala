@@ -56,11 +56,16 @@ object Similarity {
     * exact integers, ties broken by neighbor id. */
   def quantizedDotTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus
-      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv"))
-      .join(broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq"))),
-        col("neighbor_id") =!= col("qid"))
-      .withColumn("qdot", qdot(col("qv"), col("qq")))
+    // quantize + dot in row-local kernels ([[VectorKernels]]): same
+    // arithmetic, no interpreted HOF lambdas in the hot path
+    val c = VectorKernels.withQuantized(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v")),
+      "_v", "qv").drop("_v")
+    val q = VectorKernels.withQuantized(
+      queries.select(col("qid"), col("qvec")), "qvec", "qq").drop("qvec")
+    val joined = VectorKernels.withQdot(
+      c.join(broadcast(q), col("neighbor_id") =!= col("qid")),
+      "qv", "qq", "qdot")
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,6 +86,11 @@ object Similarity {
       if (((d(0) >> 4) & 0xF) >= 8) 1L else -1L
     }
   }
+
+  /** All hyperplane sign rows as a dense matrix (driver-side, shipped in
+    * kernel closures — see [[VectorKernels.withBucket]]). */
+  private[graft] def planeSigns(nPlanes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nPlanes)(p => planeSignRow(p, dim).toArray)
 
   /** Sign-random-projection bucket: `nPlanes`-bit signature of the
     * vector (bit p = sign of Σᵢ v[i]·h(p,i)). Vectors in the same bucket
@@ -133,10 +143,13 @@ object Similarity {
     * `cell`. */
   private[ops] def ivfAssign(vecs: DataFrame,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
-    val cellOf = cents.map { case (cid, cv) =>
-      struct(qdist2(col("qv"), cv).as("d"), lit(cid).as("c"))
-    }
-    vecs.withColumn("cell", least(cellOf: _*).getField("c"))
+    // cents are dense (cell id = position, the seed rule); the kernel
+    // picks min (distance, cell) exactly like least(struct(d, c)) did,
+    // without nCells × dim interpreted lambda steps per row
+    val m = cents.sortBy(_._1).map(_._2.toArray).toArray
+    require(cents.sortBy(_._1).map(_._1) == cents.indices,
+      "centroid ids must be dense 0..n-1")
+    VectorKernels.withCell(vecs, "qv", "cell", m)
   }
 
   /** One deterministic Lloyd (k-means) step over the quantized grid:
@@ -183,8 +196,9 @@ object Similarity {
     // quantize ONCE and cache: the seed collect, every Lloyd step, and
     // the final assignment all read the same projection — uncached, each
     // k-means iteration would rescan and re-quantize the full corpus
-    val qvecs = OpCaches.track(corpus.select(col(idCol).cast("long").as("id"),
-      quantize(col(vecCol)).as("qv")))
+    val qvecs = OpCaches.track(VectorKernels.withQuantized(
+      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v")),
+      "_v", "qv").drop("_v"))
     val seeds: Seq[(Int, Seq[Long])] = qvecs
       .orderBy(col("id")).limit(nCells).collect()
       .sortBy(_.getLong(0))
@@ -200,12 +214,14 @@ object Similarity {
     val probeOf = array_sort(array(cents.map { case (cid, cv) =>
       struct(qdist2(col("qq"), cv).as("d"), lit(cid).as("c"))
     }: _*))
-    val q = queries.select(col("qid"), quantize(col("qvec")).as("qq"))
+    val q = VectorKernels.withQuantized(
+        queries.select(col("qid"), col("qvec")), "qvec", "qq").drop("qvec")
       .withColumn("cell",
         explode(transform(slice(probeOf, 1, nProbe), p => p.getField("c"))))
-    val joined = c.join(broadcast(q), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("qid"))
-      .withColumn("qdot", qdot(col("qv"), col("qq")))
+    val joined = VectorKernels.withQdot(
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("qid")),
+      "qv", "qq", "qdot")
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -233,15 +249,20 @@ object Similarity {
   def lshTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nPlanes: Int = 8, probeBits: Int = 0): DataFrame = {
     val dim = dimOf(corpus, col(vecCol))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucketQ(col("qv"), nPlanes, dim))
-    val q = queries.select(col("qid"), quantize(col("qvec")).as("qq"))
-      .withColumn("bucket",
-        explode(probeBuckets(lshBucketQ(col("qq"), nPlanes, dim), nPlanes, probeBits)))
-    val joined = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("qid"))
-      .withColumn("qdot", qdot(col("qv"), col("qq")))
+    val signs = planeSigns(nPlanes, dim)
+    val c = VectorKernels.withBucket(VectorKernels.withQuantized(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v")),
+        "_v", "qv").drop("_v"),
+      "qv", "bucket", signs, dim)
+    val q = VectorKernels.withBucket(VectorKernels.withQuantized(
+          queries.select(col("qid"), col("qvec")), "qvec", "qq").drop("qvec"),
+        "qq", "_b0", signs, dim)
+      .select(col("qid"), col("qq"),
+        explode(probeBuckets(col("_b0"), nPlanes, probeBits)).as("bucket"))
+    val joined = VectorKernels.withQdot(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("qid")),
+      "qv", "qq", "qdot")
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -29,7 +29,7 @@ import java.security.MessageDigest
   * integer counts. Gated by the q15/q16/q17/q18/q37/q50 oracle queries
   * and the OpsSpec kernel-vs-Column equivalence tests.
   */
-private[ops] object TextKernels {
+private[graft] object TextKernels {
 
   /** First `n` code points of `s` (Spark/DuckDB `substring(s, 1, n)`);
     * the whole string when `n <= 0`. */

@@ -42,11 +42,20 @@ object EngineE2E {
   private val lakes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LakeTable, Long)]
 
+  /** max(event_id) per (session, dir) — five fixture queries derive their
+    * batch cuts from it; one metadata-scale job per process, not five. */
+  private val maxSeqs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def maxSeqOf(spark: SparkSession, dir: String): Long =
+    maxSeqs.getOrElseUpdate((spark, dir),
+      spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("event_id"))).head().getLong(0))
+
   private def replayedLake(spark: SparkSession, dir: String): (LakeTable, Long) =
     lakes.getOrElseUpdate((spark, dir), {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val changes = asChanges(ev)
-      val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+      val changes = asChanges(spark.read.parquet(s"$dir/events.parquet"))
+      val maxSeq = maxSeqOf(spark, dir)
       val cut1 = maxSeq / 3
       val cut2 = 2 * maxSeq / 3
       val lakeDir = java.nio.file.Files.createTempDirectory("graft-e2e-lake")
@@ -157,9 +166,8 @@ object EngineE2E {
     * replay (q22's oracle), proving compaction and vacuum are pure
     * maintenance. */
   def q31CompactVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val changes = asChanges(ev)
-    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    val changes = asChanges(spark.read.parquet(s"$dir/events.parquet"))
+    val maxSeq = maxSeqOf(spark, dir)
     val lakeDir = java.nio.file.Files.createTempDirectory("graft-cv-lake").toString
     val lake = new LakeTable(lakeDir, spark)
     // MoR replay → MAJOR compaction (folds the equality-delete files into
@@ -200,7 +208,7 @@ object EngineE2E {
   def q32ObservedRules(spark: SparkSession, dir: String): DataFrame = {
     import graft.validate.Validate
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+    val mx = maxSeqOf(spark, dir)
     // ONE source of truth for the event→changelog mapping: reuse
     // asChanges and derive the extra columns from its outputs
     // (seq = event_id, path = "p<user_id>" by construction)
@@ -249,9 +257,8 @@ object EngineE2E {
 
   private def cowReplayedLake(spark: SparkSession, dir: String): (LakeTable, Long) =
     cowLakes.getOrElseUpdate((spark, dir), {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val changes = asChanges(ev)
-      val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+      val changes = asChanges(spark.read.parquet(s"$dir/events.parquet"))
+      val maxSeq = maxSeqOf(spark, dir)
       val lakeDir = java.nio.file.Files.createTempDirectory("graft-e2e-cowlake")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import scala.jdk.CollectionConverters._
@@ -323,9 +330,8 @@ object EngineE2E {
     * inserts carry no `op`, so every event is an upsert — the oracle is
     * plain last-writer-wins with no delete filter. */
   def q45SqlMergeFace(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val changes = asChanges(ev)
-    val maxSeq = ev.agg(max(col("event_id"))).head().getLong(0)
+    val changes = asChanges(spark.read.parquet(s"$dir/events.parquet"))
+    val maxSeq = maxSeqOf(spark, dir)
     val cut = maxSeq / 2
     val lakeDir = java.nio.file.Files.createTempDirectory("graft-sqlmerge-lake").toString
     spark.sql(

@@ -462,4 +462,63 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("apache-2.0", "mit", "mit", "gpl", "bsd", "apache-2.0", "unknown"))
   }
+
+  test("text kernels are bit-identical to the Column expressions they replaced") {
+    // strings exercising every edge: non-ASCII (code-point substr), short
+    // (< k), empty, multi-space runs, repeats
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "ab", "", "x", "a  b   c", "aaaaa aaaaa bbbbb",
+      "caf\u00e9 na\u00efve r\u00e9sum\u00e9 touch\u00e9 fa\u00e7ade",
+      "one two three four five six seven eight nine ten")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // shingle sets == array_distinct(transform(...)) value set
+    val colSh = df.select($"id", TextAnalysis.shingles($"t", 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val kerSh = TextAnalysis.shingleTable(df, "id", "t", 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(colSh == kerSh)
+    // minhash signature == the conv(md5-hex)-lane Column form
+    val colSig = df.select($"id", Dedup.minhashSignature($"t", 5, 16).as("sg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(graft.ops.TextKernels.minhashSig(md, t, 5, 16, 0).toSeq == colSig(i.toLong),
+        s"minhash mismatch for '$t'")
+    }
+    // fingerprints == md5-prefix + min(md5(shingle))
+    val colFp = df.select($"id", TextAnalysis.fingerprint64($"t").as("f"),
+        TextAnalysis.shingleFingerprint($"t", 5).as("sf"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val kerFp = TextAnalysis.fingerprintTable(df, "id", "t", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(colFp == kerFp)
+  }
+
+  test("vector kernels are bit-identical to the Column HOFs they replaced") {
+    val vecs = Seq(
+      (0L, Array(0.0015f, -0.0005f, 0.25f, -0.33f)),
+      (1L, Array(0.0025f, 0.0005f, -0.25f, 0.49999997f)),
+      (2L, Array(0f, 0f, 0f, 0f)))
+    val df = vecs.toDF("id", "v")
+    val colQ = df.select($"id", Similarity.quantize($"v").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kerQ = graft.ops.VectorKernels.withQuantized(df, "v", "q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(colQ == kerQ)
+    // qdot == aggregate(zip_with(...)) on the quantized grid
+    val qdf = graft.ops.VectorKernels.withQuantized(df, "v", "q").drop("v")
+    val colD = qdf.select($"id", Similarity.qdot($"q", $"q").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kerD = graft.ops.VectorKernels.withQdot(qdf, "q", "q", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(colD == kerD)
+    // bucket == lshBucketQ against the same hyperplanes
+    val signs = Similarity.planeSigns(4, 4)
+    val colB = qdf.select($"id", Similarity.lshBucketQ($"q", 4, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kerB = graft.ops.VectorKernels.withBucket(qdf, "q", "b", signs, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(colB == kerB)
+  }
 }
