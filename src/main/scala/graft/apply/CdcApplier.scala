@@ -408,27 +408,22 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         struct(col("bmax.s").as("s"), col("bmax.c").as("c")))
     // O(batch winners) — PERSISTED because the range-clustered write
     // SAMPLES its input (RangePartitioner runs a full pass over the
-    // child before the write pass): without the cache the whole merge —
-    // base key-column scan + shuffle + aggregate — would execute twice
-    // per micro-batch, and an `observe`-based count would double-count.
-    // With it, the merge computes once; sampling, the write, and the
-    // count read the cache.
+    // child before the write pass) and the union below reads `act` from
+    // two branches: without the cache the whole merge — base key-column
+    // scan + shuffle + aggregate — would execute per consumer.
     val act = merged.filter(actionable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cnt = act.agg(
-        sum(when(col("w._op").isNotNull && col("w._op") =!= Op.Delete, 1L)
-          .otherwise(0L)).as("newLive"),
-        sum(when(col("bmax").isNotNull && col("bmax.d"), 1L)
-          .otherwise(0L)).as("oldLive")).head()
-      val newLive = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
-      val oldLive = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
       // ONE write job for both outputs, partitioned by kind: data rows
       // (winners that live) ∪ key-only equality-delete entries (for keys
       // where some base version existed — a brand-new key has nothing to
       // supersede; the entry carries the WINNING (seq, commit) so
-      // strictly-older versions die at read). One job + one footer-stats
-      // pass instead of two of each — per-micro-batch fixed cost is what
+      // strictly-older versions die at read). The delete partition is
+      // SUBDIVIDED by whether a live base row existed ('dlive' — a bare
+      // tombstone supersession is 'dtomb'), so the exact newLive/oldLive
+      // counters for the lineage chain fall out of the written files'
+      // footer stats — the separate count aggregate (one full action per
+      // micro-batch) is gone; per-micro-batch fixed cost is what
       // sustained throughput is made of.
       val dataPart = act.filter(col("w._op") =!= Op.Delete)
         .select(keyCols.map(col) ++ valueNames.map(c => col(s"w.$c").as(c)) :+
@@ -437,13 +432,19 @@ class CdcApplier(lake: LakeTable, spark: SparkSession,
         .select(keyCols.map(col) ++ valueNames.map { c =>
           if (c == "seq" || c == "commit") col(s"w.$c").as(c)
           else lit(null).cast(evolved(c).dataType).as(c)
-        } :+ lit("delete").as("_kind"): _*)
+        } :+ when(col("bmax.d"), lit("dlive")).otherwise(lit("dtomb")).as("_kind"): _*)
       // written rows ≤ 2 × batch keys ≤ 2 × (upserts + deletes): every
       // output row (data winner or delete entry) maps to a batch key
-      val entries = lake.writeDataFiles(
+      val entriesKinded = lake.writeDataFilesKinded(
         clusterForWrite(dataPart.unionByName(delPart),
           2 * (upserts + deletes)),
-        f"b$batchId%s-m", blooms = false, partitionCol = Some("_kind"))
+        f"b$batchId%s-m", blooms = false, partitionCol = Some("_kind"),
+        kindMap = k => if (k == "data") "data" else "delete")
+      val entries = entriesKinded.map(_._2)
+      // dataPart's filter drops null-op winners (null =!= 'DELETE' is
+      // null), so its row total is exactly the old newLive counter
+      val newLive = entriesKinded.filter(_._1 == "data").map(_._2.rows).sum
+      val oldLive = entriesKinded.filter(_._1 == "dlive").map(_._2.rows).sum
       // live-count chain: previous commit's exact rowsAfter (file sums
       // would count superseded versions still sitting in MoR files)
       val rowsBefore = snap.map(s =>

@@ -336,7 +336,20 @@ class LakeTable(val root: String, spark: SparkSession,
     * same stats, collected where the files are visible. */
   def writeDataFiles(df: DataFrame, label: String, kind: String = "data",
       blooms: Boolean = true, partitionCol: Option[String] = None)
-      : Seq[FileEntry] = {
+      : Seq[FileEntry] =
+    writeDataFilesKinded(df, label, kind, blooms, partitionCol, identity)
+      .map(_._2)
+
+  /** [[writeDataFiles]] with a partition-value → manifest-kind mapping,
+    * returning (raw partition value, entry) pairs: lets a caller write
+    * SUBDIVIDED partitions in one job (e.g. the MoR merge splitting
+    * delete entries by had-live-base-row) and read the per-subdivision
+    * row counts straight from the footer stats — no separate count
+    * action over the merge output. */
+  private[graft] def writeDataFilesKinded(df: DataFrame, label: String,
+      kind: String = "data", blooms: Boolean = true,
+      partitionCol: Option[String] = None,
+      kindMap: String => String = identity): Seq[(String, FileEntry)] = {
     // no leading '_' \u2014 Spark's file listing filters _-prefixed paths
     val tmp = Paths.get(root, s"stage-$label")
     // KEYLESS tables (e.g. the quarantine sink's (raw, errors, stage)
@@ -427,18 +440,20 @@ class LakeTable(val root: String, spark: SparkSession,
       }
     val entries = partsKinded.zipWithIndex.map { case ((src, k), i) =>
       val (rows, minR, maxR, minP, maxP, minS, maxS, bytes) = stats(src.toString)
-      val name = s"$label-$k-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
+      // the public file name carries the MANIFEST kind (raw partition
+      // values like dlive/dtomb are an internal counting detail)
+      val name = s"$label-${kindMap(k)}-${"%05d".format(i)}-${src.getFileName.toString.stripPrefix("part-").take(41)}"
       val dst = dataDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
-        minS, maxS, k, bytes)
+      (k, FileEntry(s"data/$name", rows, minR, maxR, s"$minR $minP", s"$maxR $maxP",
+        minS, maxS, kindMap(k), bytes))
     }
     // clean tmp dir remnants (_SUCCESS etc.)
     val w = Files.walk(tmp)
     try w.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(p => Try(Files.delete(p)))
     finally w.close()
-    entries.filter(_.rows > 0)
+    entries.filter(_._2.rows > 0)
   }
 
 
