@@ -132,12 +132,26 @@ object Temporal {
     * Exact when both columns are dates or midnight timestamps (q47's
     * shape); sub-day granularity is the same construction over
     * fixed-width epoch bins. Weight sums are exact for integer-valued
-    * weights (double addition of integers is order-independent).
+    * weights (double addition of integers is order-independent; the
+    * running sum coalesces through double 0.0, so fractional decimal
+    * weights lose decimal exactness — cast upstream if that matters).
     * Points on days covered by zero intervals are dropped (inner-join
-    * semantics, matching the pair-join + GROUP BY formulation). */
+    * semantics, matching the pair-join + GROUP BY formulation), and a
+    * point covered ONLY by NULL-weight intervals reports weight 0.0
+    * where the brute pair-join SUM would report NULL.
+    *
+    * Cost/robustness caveats: the densified calendar scales with the
+    * data's date SPAN, not volume — one sentinel date (9999-12-31)
+    * inflates the "metadata-scale" calendar to millions of rows; clamp
+    * or validate the date domain upstream. Output columns `n_open`,
+    * `__d` and the weight output names are reserved (fail-fast below). */
   def stabbingAggregate(points: DataFrame, pointDate: String,
       intervals: DataFrame, startCol: String, endCol: String,
       weights: Seq[(String, String)]): DataFrame = {
+    val reserved = Set("n_open", "__d") ++ weights.map(_._2)
+    val clash = points.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"points columns collide with reserved output names: ${clash.mkString(", ")}")
     val iv = intervals.filter(col(endCol) >= col(startCol))
     // both delta rows (+ at start, − past end) come from ONE interval
     // scan via explode — the two-sided union scanned the interval table
