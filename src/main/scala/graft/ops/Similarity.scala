@@ -56,16 +56,40 @@ object Similarity {
     * exact integers, ties broken by neighbor id. */
   def quantizedDotTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
-    // quantize + dot in row-local kernels ([[VectorKernels]]): same
-    // arithmetic, no interpreted HOF lambdas in the hot path
-    val c = VectorKernels.withQuantized(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v")),
-      "_v", "qv").drop("_v")
-    val q = VectorKernels.withQuantized(
-      queries.select(col("qid"), col("qvec")), "qvec", "qq").drop("qvec")
-    val joined = VectorKernels.withQdot(
-      c.join(broadcast(q), col("neighbor_id") =!= col("qid")),
-      "qv", "qq", "qdot")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // brute force is definitionally all-pairs, so score every query
+    // against each corpus row in ONE kernel pass: the quantized query
+    // table (metadata-scale — a broadcast join would collect it to the
+    // driver anyway) ships in the closure, and the nested-loop join the
+    // planner produced for the `neighbor_id =!= qid` condition
+    // disappears. Arithmetic identical to the zip_with Column form
+    // (OpsSpec equivalence + q19 oracle); ragged vectors yield NULL
+    // dots like zip_with null-padding.
+    val qRows: Array[(Long, Array[Long])] = VectorKernels.withQuantized(
+        queries.select(col("qid").cast("long").as("qid"), col("qvec")),
+        "qvec", "qq")
+      .select(col("qid"), col("qq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val joined = VectorKernels.withQuantized(
+        corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("_v")), "_v", "qv").drop("_v")
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (nid, qv) =>
+          qRows.iterator.filter(_._1 != nid).map { case (qid, qq) =>
+            val qdot: Option[Long] =
+              if (qv == null || qv.length != qq.length) None
+              else {
+                var s = 0L
+                var i = 0
+                while (i < qv.length) { s += qv(i) * qq(i); i += 1 }
+                Some(s)
+              }
+            (qid, nid, qdot)
+          }
+        }
+      }.toDF("qid", "neighbor_id", "qdot")
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
